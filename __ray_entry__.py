@@ -1,44 +1,67 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ray.init() itself BEFORE importing this module; nothing
+here (or in search_engine_ray) calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship pipeline over /root/testdata/sf0.001.
+- queries(): one callable per implemented operator (SURVEY.md §2 et al.);
+  each takes sf_dir and returns a Dataset / pandas DataFrame / pa.Table.
+- oracle_sql(): DuckDB-equivalent SQL for the SQL-expressible subset, with
+  matching column names; non-SQL ops get the weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize pages from documents, run the
+    exact-port HTML parse + stem stage, return parsed docs."""
+    from search_engine_ray.pipelines.datasets import parsed_docs_dataset
+
+    return parsed_docs_dataset(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from search_engine_ray.functions import ann, docops, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # §2.2 parse/tokenize surface (byte-identity invariant)
+        "extract_text": docops.extract_text,
+        "docmeta": docops.docmeta,
+        # §2.6 aggregates
+        "token_count": docops.token_count,
+        "lang_count": docops.lang_count,
+        "term_stats": docops.term_stats,
+        "stopword_stats": docops.stopword_stats,
+        # dedup (exact; upgrades reference Bloom filter F1/J5)
+        "dedup_exact": docops.dedup_exact,
+        # relational / streaming-shaped
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "orders_by_segment": relational.orders_by_segment,
+        "events_tumbling_window": relational.events_tumbling_window,
+        # similarity search
+        "ann_topk": ann.ann_topk,
+        "ann_topk_lsh": ann.ann_topk_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_engine_ray.functions import ann, relational
+    from search_engine_ray.functions.docops import SQL as DOC_SQL
+
+    out = dict(DOC_SQL)
+    out["q1_pricing_summary"] = relational.SQL_Q1
+    out["orders_by_segment"] = relational.SQL_ORDERS_BY_SEGMENT
+    out["events_tumbling_window"] = relational.SQL_EVENTS_WINDOW
+    out["ann_topk"] = ann.SQL_ANN_TOPK
+    # ann_topk_lsh: approximate → rows-only check (recall is pytest-gated)
+    return out

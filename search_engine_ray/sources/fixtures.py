@@ -204,4 +204,5 @@ def pages_from_documents_batch(batch: pa.Table, seed: int = 42) -> pa.Table:
         "html": pa.array(htmls, pa.binary()),
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(langs, pa.string()),
+        "doc_id": batch.column("doc_id"),  # extra column; build selects its own
     })
