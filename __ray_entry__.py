@@ -23,11 +23,12 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline: synthesize pages from documents, run the
-    exact-port HTML parse + stem stage, return parsed docs."""
-    from search_engine_ray.pipelines.datasets import parsed_docs_dataset
+    """Flagship pipeline: synthesize pages → parse → build the sharded
+    inverted index (resumable) → answer the reference query set with the
+    BM25 actor-pool engine. Returns the ranked results table."""
+    from search_engine_ray.pipelines.flagship import run_reference_queries
 
-    return parsed_docs_dataset(SF0001)
+    return run_reference_queries(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -51,7 +52,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        # flagship: index build + BM25 serving (non-SQL → rows-only check)
+        "search_bm25": _search_bm25,
     }
+
+
+def _search_bm25(sf_dir: str) -> Any:
+    from search_engine_ray.pipelines.flagship import run_reference_queries
+
+    return run_reference_queries(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,325 @@
+"""Query serving: an actor pool over memory-mapped index segments.
+
+Mirrors the reference csolver topology (SURVEY.md §3.2/§3.3) Ray-natively:
+each SegmentSearcher actor owns a set of document shards, loads their
+segment + docmeta parquet once in __init__ (T3), evaluates the boolean plan
+against its shards, scores candidates with BM25 and returns a per-actor
+top-k; the driver merges descending (R6 semantics: csolver.cpp:94-121).
+
+Scoring is BM25 (k1=1.2, b=0.75 — documented choice; the reference defines
+no BM25 constants, SURVEY.md preamble) with Lucene-style idf
+ln(1 + (N - df + 0.5)/(df + 0.5)). Global df/N/avgdl come from the build
+manifest + terms table; idf is computed on the driver and shipped with the
+query, so actors never need the global vocabulary.
+
+Boolean semantics (engine mode):
+- AND/OR/SynOr → sorted-array intersection/union (J6, I3-I5)
+- PHRASE → doc intersection + consecutive-position verification (I7) over
+  within-doc positions (reference location semantics minus the global base)
+- NOT: the reference csolver cannot serve NOT (live assert on a null
+  excluded stream — see query/compile.py); this engine implements the
+  documented intent: AND(a, NOT(b)) = a ∖ b; a bare/OR-side NOT
+  contributes the empty set (J7).
+
+Synonym terms (SynOr right subtrees) score with weight SYN_WEIGHT=0.4,
+mirroring the reference ranker's synonym blend factor (Ranker.hpp:110).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..query import compile as qc
+from ..state import segments as seg
+
+SYN_WEIGHT = 0.4  # Ranker.hpp:110
+
+
+# ---------------------------------------------------------------------------
+# plan flattening (collectTerms analogue, Indexer.hpp:621-628, isr.cpp)
+# ---------------------------------------------------------------------------
+
+def flatten_terms(node, synonym=False, out=None, seen=None):
+    """(term, is_synonym) in left-to-right traversal order, deduped by term
+    string — first occurrence wins (ISR_Tree::getFlattenedTerms)."""
+    if out is None:
+        out, seen = [], set()
+    if node is None:
+        return out
+    if isinstance(node, qc.Word):
+        if node.stem_ not in seen:
+            seen.add(node.stem_)
+            out.append((node.stem_, synonym))
+    elif isinstance(node, qc.Phrase):
+        for s in node.stems:
+            if s and s not in seen:
+                seen.add(s)
+                out.append((s, synonym))
+    elif isinstance(node, qc.SynOr):
+        flatten_terms(node.left, synonym, out, seen)
+        flatten_terms(node.rest, True, out, seen)
+    elif isinstance(node, (qc.And, qc.Or)):
+        flatten_terms(node.left, synonym, out, seen)
+        flatten_terms(node.right, synonym, out, seen)
+    elif isinstance(node, qc.Not):
+        flatten_terms(node.child, synonym, out, seen)  # included side only
+    return out
+
+
+def scoring_terms(node):
+    """Terms that contribute BM25 score: flattened terms excluding NOT
+    subtrees (the negated side must not add relevance)."""
+    out, seen = [], set()
+
+    def walk(n, synonym):
+        if n is None:
+            return
+        if isinstance(n, qc.Word):
+            if n.stem_ and n.stem_ not in seen:
+                seen.add(n.stem_)
+                out.append((n.stem_, synonym))
+        elif isinstance(n, qc.Phrase):
+            for s in n.stems:
+                if s and s not in seen:
+                    seen.add(s)
+                    out.append((s, synonym))
+        elif isinstance(n, qc.SynOr):
+            walk(n.left, synonym)
+            walk(n.rest, True)
+        elif isinstance(n, (qc.And, qc.Or)):
+            walk(n.left, synonym)
+            walk(n.right, synonym)
+        elif isinstance(n, qc.Not):
+            pass
+    walk(node, False)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-shard evaluation
+# ---------------------------------------------------------------------------
+
+_EMPTY = np.empty(0, dtype=np.int64)
+
+
+class ShardIndex:
+    """One document shard: lazy-decoded posting lists + doc attributes.
+
+    Parquet files are opened memory-mapped; term rows decode on first use
+    and are cached (mirrors the csolver mmap+read-on-demand, main.cpp:59-108).
+    """
+
+    def __init__(self, index_dir: str, shard: int):
+        seg_path = os.path.join(index_dir, "segments", f"shard={shard}")
+        doc_path = os.path.join(index_dir, "docs", f"shard={shard}")
+        t = pq.read_table(seg_path, memory_map=True)
+        self._rows = {t.column("term")[i].as_py(): i
+                      for i in range(t.num_rows)}
+        self._table = t
+        self._cache: dict[str, seg.TermPostings] = {}
+        d = pq.read_table(doc_path, memory_map=True,
+                          columns=["doc_id", "url", "title", "dl"])
+        order = np.argsort(d.column("doc_id").to_numpy())
+        self.doc_ids = d.column("doc_id").to_numpy()[order]
+        self.dls = d.column("dl").to_numpy(zero_copy_only=False)[order]
+        self._urls = d.column("url").take(pa.array(order))
+        self._titles = d.column("title").take(pa.array(order))
+
+    def lookup(self, term: str) -> seg.TermPostings | None:
+        tp = self._cache.get(term)
+        if tp is not None:
+            return tp
+        i = self._rows.get(term)
+        if i is None:
+            return None
+        row = {name: self._table.column(name)[i].as_py()
+               for name in ("df", "cf", "doc_gaps", "tfs", "pos_gaps",
+                            "block_last_doc", "block_max_impact")}
+        tp = seg.TermPostings(row)
+        self._cache[term] = tp
+        return tp
+
+    def doc_meta(self, doc_id: int) -> tuple[str, str]:
+        i = int(np.searchsorted(self.doc_ids, doc_id))
+        return self._urls[i].as_py(), self._titles[i].as_py()
+
+    def doc_dl(self, cand: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.doc_ids, cand)
+        return self.dls[idx]
+
+    # -- boolean algebra ----------------------------------------------------
+    def eval(self, node) -> np.ndarray:
+        if node is None:
+            return _EMPTY
+        if isinstance(node, qc.Word):
+            tp = self.lookup(node.stem_)
+            return tp.doc_ids if tp is not None else _EMPTY
+        if isinstance(node, qc.Phrase):
+            return self._eval_phrase([s for s in node.stems if s])
+        if isinstance(node, qc.And):
+            l, r = node.left, node.right
+            if isinstance(r, qc.Not):
+                return np.setdiff1d(self.eval(l), self.eval(r.child),
+                                    assume_unique=True)
+            if isinstance(l, qc.Not):
+                return np.setdiff1d(self.eval(r), self.eval(l.child),
+                                    assume_unique=True)
+            return np.intersect1d(self.eval(l), self.eval(r),
+                                  assume_unique=True)
+        if isinstance(node, qc.Or):
+            return np.union1d(self.eval(node.left), self.eval(node.right))
+        if isinstance(node, qc.SynOr):
+            return np.union1d(self.eval(node.left), self.eval(node.rest))
+        if isinstance(node, qc.Not):
+            return _EMPTY
+        raise TypeError(type(node))
+
+    def _eval_phrase(self, terms: list[str]) -> np.ndarray:
+        if not terms:
+            return _EMPTY
+        tps = []
+        for t in terms:
+            tp = self.lookup(t)
+            if tp is None:
+                return _EMPTY
+            tps.append(tp)
+        cand = tps[0].doc_ids
+        for tp in tps[1:]:
+            cand = np.intersect1d(cand, tp.doc_ids, assume_unique=True)
+            if not len(cand):
+                return _EMPTY
+        out = []
+        idxs = [np.searchsorted(tp.doc_ids, cand) for tp in tps]
+        for j, d in enumerate(cand):
+            base = tps[0].positions_for(int(idxs[0][j]))
+            for i in range(1, len(tps)):
+                if not len(base):
+                    break
+                pi = tps[i].positions_for(int(idxs[i][j]))
+                base = np.intersect1d(base, pi - i, assume_unique=True)
+            if len(base):
+                out.append(d)
+        return np.asarray(out, dtype=np.int64)
+
+    # -- scoring ------------------------------------------------------------
+    def score_topk(self, plan, k: int, idf: dict[str, float],
+                   avgdl: float) -> list[tuple[float, int, str, str]]:
+        cand = self.eval(plan)
+        if not len(cand):
+            return []
+        dls = self.doc_dl(cand)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for term, is_syn in scoring_terms(plan):
+            tp = self.lookup(term)
+            w = idf.get(term)
+            if tp is None or w is None:
+                continue
+            pos = np.searchsorted(tp.doc_ids, cand)
+            np.clip(pos, 0, len(tp.doc_ids) - 1, out=pos)
+            hit = tp.doc_ids[pos] == cand
+            if not hit.any():
+                continue
+            tfs = tp.tfs[pos[hit]]
+            imp = seg.bm25_impact(tfs, dls[hit], avgdl)
+            scores[hit] += (SYN_WEIGHT if is_syn else 1.0) * w * imp
+        if len(cand) > k:
+            top = np.argpartition(-scores, k)[:k]
+        else:
+            top = np.arange(len(cand))
+        order = top[np.lexsort((cand[top], -scores[top]))]
+        out = []
+        for i in order:
+            url, title = self.doc_meta(int(cand[i]))
+            out.append((float(scores[i]), int(cand[i]), url, title))
+        return out
+
+
+@ray.remote
+class SegmentSearcher:
+    """Actor owning several shards (T3: state loaded once in __init__)."""
+
+    def __init__(self, index_dir: str, shards: list[int]):
+        self.shards = [ShardIndex(index_dir, s) for s in shards]
+
+    def ready(self) -> bool:
+        return True
+
+    def search(self, plan, k: int, idf: dict[str, float],
+               avgdl: float) -> list[tuple[float, int, str, str]]:
+        results: list[tuple[float, int, str, str]] = []
+        for sh in self.shards:
+            results.extend(sh.score_topk(plan, k, idf, avgdl))
+        results.sort(key=lambda r: (-r[0], r[1]))
+        return results[:k]
+
+
+# ---------------------------------------------------------------------------
+# driver-side engine
+# ---------------------------------------------------------------------------
+
+class SearchEngine:
+    """Compile queries, fan out to the searcher pool, merge top-k."""
+
+    def __init__(self, index_dir: str, num_searchers: int | None = None,
+                 use_synonyms: bool = True):
+        man = seg.read_manifest(index_dir)
+        if man is None or "terms" not in man.get("stages_done", []):
+            raise FileNotFoundError(f"no complete index at {index_dir}")
+        self.n_docs = man["stats"]["n_docs"]
+        self.avgdl = man["stats"]["avgdl"]
+        num_shards = man["stats"]["num_shards"]
+        t = pq.read_table(os.path.join(index_dir, "terms"))
+        self._df = dict(zip(t.column("term").to_pylist(),
+                            t.column("df").to_pylist()))
+        self.synsets = qc.get_default_synsets() if use_synonyms else None
+        if num_searchers is None:
+            num_searchers = min(num_shards, max(1, int(
+                ray.cluster_resources().get("CPU", 4)) // 2))
+        assign: list[list[int]] = [[] for _ in range(num_searchers)]
+        for s in range(num_shards):
+            assign[s % num_searchers].append(s)
+        self.actors = [SegmentSearcher.remote(index_dir, sh)
+                       for sh in assign if sh]
+        ray.get([a.ready.remote() for a in self.actors])
+
+    def idf(self, term: str) -> float:
+        df = self._df.get(term, 0)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def compile(self, query: str):
+        return qc.compile_query(query, self.synsets)
+
+    def search(self, query: str, k: int = 10) -> pa.Table:
+        plan = self.compile(query)
+        cols = {"rank": [], "score": [], "doc_id": [], "url": [], "title": []}
+        if plan is not None:
+            idf = {t: self.idf(t) for t, _ in flatten_terms(plan)}
+            parts = ray.get([a.search.remote(plan, k, idf, self.avgdl)
+                             for a in self.actors])
+            merged = sorted((r for p in parts for r in p),
+                            key=lambda r: (-r[0], r[1]))[:k]
+            for rank, (score, doc_id, url, title) in enumerate(merged, 1):
+                cols["rank"].append(rank)
+                cols["score"].append(score)
+                cols["doc_id"].append(doc_id)
+                cols["url"].append(url)
+                cols["title"].append(title)
+        return pa.table({
+            "rank": pa.array(cols["rank"], pa.int64()),
+            "score": pa.array(cols["score"], pa.float64()),
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "url": pa.array(cols["url"], pa.string()),
+            "title": pa.array(cols["title"], pa.string()),
+        })
+
+    def close(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

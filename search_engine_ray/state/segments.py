@@ -1,0 +1,160 @@
+"""Sharded index segment format + manifest.
+
+Layout under ``index_dir``::
+
+    manifest.json                 corpus stats, config, completed stages
+    docmeta/shard=N/*.parquet     per-doc attributes (url, title, dl, ...)
+    segments/shard=N/*.parquet    per-(shard, term) posting lists
+
+A segment row is one term's postings within one document shard:
+
+    shard:i32  term:str  df:i64  cf:i64
+    doc_gaps:binary       varint delta-gaps of sorted doc_ids (abs first)
+    tfs:binary            varint term frequencies, one per doc
+    pos_gaps:binary       varint within-doc position gaps, concatenated in
+                          doc order (tf values per doc); positions are
+                          indices into the doc's kept-token sequence
+                          [title ++ body] (reference location semantics,
+                          Indexer.hpp:407-440, minus the global base)
+    block_last_doc:binary varint gaps of the last doc_id per 128-doc block
+    block_max_impact:binary float32-LE array: per-block max of the BM25
+                          tf-side impact tf/(tf + k1*(1-b+b*dl/avgdl)) —
+                          the block-max metadata for WAND (the Ray-native
+                          generalization of the reference skip table,
+                          Posts.hpp:353-369)
+
+Sharding is BY DOCUMENT (shard = doc_id % num_shards): each shard is a
+self-contained index over its docs — the distributed analogue of the
+reference's 5000-doc chunks (constants.h:27). The (shard, term) groupby key
+bounds every group by the shard's doc count, which is the salt that keeps
+head-term skew out of the shuffle (SURVEY.md §4.3): a term's global posting
+list is the order-preserving concatenation of its per-shard lists because
+shards partition the doc-id space.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import varint
+
+BLOCK_SIZE = 128
+K1 = 1.2
+B = 0.75
+
+SEGMENT_SCHEMA = pa.schema([
+    ("shard", pa.int32()),
+    ("term", pa.string()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("doc_gaps", pa.binary()),
+    ("tfs", pa.binary()),
+    ("pos_gaps", pa.binary()),
+    ("block_last_doc", pa.binary()),
+    ("block_max_impact", pa.binary()),
+])
+
+
+def bm25_impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    """tf-side BM25 impact (the score contribution divided by idf)."""
+    tfs = tfs.astype(np.float64)
+    return tfs / (tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
+
+
+def encode_term_postings(doc_ids: np.ndarray, tfs: np.ndarray,
+                         positions_concat: np.ndarray, dls: np.ndarray,
+                         avgdl: float) -> dict:
+    """Encode one (shard, term) group, already sorted by doc_id.
+
+    ``positions_concat``: all positions, doc-major (tf[i] values per doc),
+    strictly increasing within each doc.
+    """
+    order_ok = np.all(doc_ids[1:] > doc_ids[:-1]) if len(doc_ids) > 1 else True
+    assert order_ok, "doc_ids must be strictly increasing"
+    # per-doc position gaps (first absolute): subtract predecessor within doc
+    pos = positions_concat.astype(np.uint64)
+    gaps = pos.copy()
+    if len(pos):
+        starts = np.zeros(len(pos), dtype=bool)
+        starts[np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)] = True
+        prev = np.roll(pos, 1)
+        gaps = np.where(starts, pos, pos - prev)
+
+    impacts = bm25_impact(tfs, dls, avgdl)
+    nblocks = (len(doc_ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_last, block_max = [], np.empty(nblocks, dtype=np.float32)
+    for b in range(nblocks):
+        lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, len(doc_ids))
+        block_last.append(doc_ids[hi - 1])
+        block_max[b] = impacts[lo:hi].max()
+
+    return {
+        "df": len(doc_ids),
+        "cf": int(tfs.sum()),
+        "doc_gaps": varint.encode_gaps(doc_ids.astype(np.uint64)),
+        "tfs": varint.encode_u64_stream(tfs.astype(np.uint64)),
+        "pos_gaps": varint.encode_u64_stream(gaps),
+        "block_last_doc": varint.encode_gaps(
+            np.asarray(block_last, dtype=np.uint64)),
+        "block_max_impact": block_max.tobytes(),
+    }
+
+
+class TermPostings:
+    """Decoded view of one segment row."""
+
+    __slots__ = ("doc_ids", "tfs", "pos_offsets", "positions",
+                 "block_last_doc", "block_max_impact", "df", "cf")
+
+    def __init__(self, row: dict):
+        self.df = row["df"]
+        self.cf = row["cf"]
+        self.doc_ids = varint.decode_gaps(row["doc_gaps"]).astype(np.int64)
+        self.tfs = varint.decode_u64_stream(row["tfs"]).astype(np.int64)
+        gaps = varint.decode_u64_stream(row["pos_gaps"])
+        self.pos_offsets = np.concatenate(
+            ([0], np.cumsum(self.tfs))).astype(np.int64)
+        # reconstruct absolute positions: cumsum within each doc ⇒ global
+        # cumsum minus carry at doc starts
+        pos = np.empty(len(gaps), dtype=np.int64)
+        csum = np.cumsum(gaps.astype(np.int64))
+        starts = self.pos_offsets[:-1]
+        carry = np.zeros(len(gaps), dtype=np.int64)
+        if len(gaps):
+            doc_carry = csum[starts] - gaps[starts].astype(np.int64)
+            expand = np.repeat(doc_carry, np.diff(self.pos_offsets))
+            pos = csum - expand
+        self.positions = pos
+        self.block_last_doc = varint.decode_gaps(
+            row["block_last_doc"]).astype(np.int64)
+        self.block_max_impact = np.frombuffer(
+            row["block_max_impact"], dtype=np.float32)
+
+    def positions_for(self, i: int) -> np.ndarray:
+        return self.positions[self.pos_offsets[i]:self.pos_offsets[i + 1]]
+
+
+# ---------------------------------------------------------------------------
+# manifest
+# ---------------------------------------------------------------------------
+
+def write_manifest(index_dir: str, payload: dict) -> None:
+    payload = dict(payload)
+    payload["written_at"] = time.time()
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+
+
+def read_manifest(index_dir: str) -> dict | None:
+    path = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
