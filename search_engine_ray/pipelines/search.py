@@ -294,7 +294,9 @@ class SearchEngine:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def compile(self, query: str):
-        return qc.compile_query(query, self.synsets)
+        # engine mode fixes the title decoration so '@' terms match the
+        # index vocabulary (the compat path keeps the reference quirk)
+        return qc.compile_query(query, self.synsets, title_stem_fix=True)
 
     def search(self, query: str, k: int = 10) -> pa.Table:
         plan = self.compile(query)

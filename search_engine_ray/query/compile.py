@@ -199,12 +199,18 @@ def _parse_expression(tokens: list[str], idx: list[int]):
 # optimize: decoration + synonyms (query.cpp:90-147,197-243,384-499)
 # ---------------------------------------------------------------------------
 
-def _decorated_word(w: Word) -> Or:
-    # NOTE the quirk: the new leaf stems '@'+raw term (query.cpp:91)
+def _decorated_word(w: Word, title_stem_fix: bool = False) -> Or:
+    if title_stem_fix:
+        # engine mode: title key is '@' + stem(term), matching the index
+        # vocabulary (Indexer.hpp:355-357)
+        return Or(Word("@" + w.term, "@" + w.stem_), w)
+    # compat mode quirk: the new leaf stems '@'+raw term (query.cpp:91),
+    # which usually differs from the index's '@'+stem key
     return Or(Word("@" + w.term), w)
 
 
-def _generate_synonyms(w: Word, synsets) -> SynOr | None:
+def _generate_synonyms(w: Word, synsets,
+                       title_stem_fix: bool = False) -> SynOr | None:
     syn_lists = synsets.get(w.stem_) if synsets else None
     if not syn_lists:
         return None
@@ -219,11 +225,11 @@ def _generate_synonyms(w: Word, synsets) -> SynOr | None:
     # by iterating in push order.
     rest = None
     for term in stack:
-        node = SynOr(_decorated_word(term), rest,
+        node = SynOr(_decorated_word(term, title_stem_fix), rest,
                      1, rest.size if rest else 0)
         node.size = 1 + (rest.size if rest else 0)
         rest = node
-    outer = SynOr(_decorated_word(w), rest,
+    outer = SynOr(_decorated_word(w, title_stem_fix), rest,
                   STEP_TERM_ORIGINAL, STEP_TERM_SYNONYM)
     outer.size = 1 + (rest.size if rest else 0)
     return outer
@@ -237,16 +243,16 @@ def _decorated_phrase(p: Phrase) -> Or | None:
     return Or(Phrase(terms_dec, stems_dec), p)
 
 
-def optimize(node, synsets):
+def optimize(node, synsets, title_stem_fix: bool = False):
     if node is None:
         return None
     if isinstance(node, Word):
         if not node.stem_:
             return None
-        replaced = _generate_synonyms(node, synsets)
+        replaced = _generate_synonyms(node, synsets, title_stem_fix)
         if replaced is not None:
             return replaced
-        return _decorated_word(node)
+        return _decorated_word(node, title_stem_fix)
     if isinstance(node, Phrase):
         if not node.terms:
             return None
@@ -254,14 +260,14 @@ def optimize(node, synsets):
     if isinstance(node, SynOr):
         return node  # pre-built, not re-optimized (query.cpp:455-458)
     if isinstance(node, Not):
-        child = optimize(node.child, synsets)
+        child = optimize(node.child, synsets, title_stem_fix)
         if child is None:
             return None
         node.child = child
         return node
     if isinstance(node, (And, Or)):
-        left = optimize(node.left, synsets)
-        right = optimize(node.right, synsets)
+        left = optimize(node.left, synsets, title_stem_fix)
+        right = optimize(node.right, synsets, title_stem_fix)
         if left is not None and right is not None:
             node.left, node.right = left, right
             return node
@@ -269,14 +275,15 @@ def optimize(node, synsets):
     raise TypeError(type(node))
 
 
-def compile_query(query: str, synsets=None):
+def compile_query(query: str, synsets=None, title_stem_fix: bool = False):
     """build_expr + optimize (query.cpp:655-664,775-779). Returns the
-    optimized tree or None for an invalid/empty query."""
+    optimized tree or None for an invalid/empty query. ``title_stem_fix``
+    selects engine-mode title decoration (see _decorated_word)."""
     decoded = url_decode(query)
     tokens = tokenize(decoded)
     idx = [0]
     tree = _parse_expression(tokens, idx)
-    return optimize(tree, synsets)
+    return optimize(tree, synsets, title_stem_fix)
 
 
 # ---------------------------------------------------------------------------

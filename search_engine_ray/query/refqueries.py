@@ -48,3 +48,47 @@ REF_QUERIES: list[str] = [
     "customer & -spark",
     '"group query"',
 ]
+
+
+# Same expression shapes over the adversarial fixture corpus's vocabulary
+# (sources/fixtures.gen_pages) — used by the C++ rank-conformance gate.
+FIXTURE_QUERIES: list[str] = [
+    "running",
+    "-running",
+    "running & children",
+    "running | children",
+    "running & (children | data)",
+    "(running & children) | data",
+    "-(running & children)",
+    "running & (children | (data & national))",
+    '"information retrieval" & information',
+    "(running | children) & (data | national)",
+    "-(running | (children & data))",
+    "running & children & data & national",
+    "running | children | data | national",
+    "running children",
+    '"information retrieval"',
+    '"information retrieval ranks"',
+    '"retrieval ranks web documents"',
+    # synonym-triggering nouns (present in WordNet synsets + the corpus)
+    "unit",
+    "object",
+    "animal",
+    "money",
+    "information",
+    # stopword handling
+    "the",
+    "a & the",
+    "running & the",
+    # utility intent vs utility-page penalty
+    "data & privacy",
+    "privacy policy",
+    "information & error",
+    # zipf vocab + misc
+    "word1",
+    "word2 | word3",
+    "dogs | cats",
+    "happiness & darkness",
+    "station | nation",
+    "go went gone",
+]

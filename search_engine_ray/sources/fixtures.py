@@ -38,7 +38,8 @@ _VOCAB = (
     "organization generously happily past fastest bigger dying saying lying "
     "say cry by ws us ab xy running, cats. dogs; fish: go went gone "
     "quickly slowly brightly darkness happiness usefulness activity "
-    "creation station nation relation vacation position decision"
+    "creation station nation relation vacation position decision "
+    "privacy policy legal terms error contact about cookies"
 ).split()
 _ZIPF_VOCAB = [f"word{i}" for i in range(400)]
 
@@ -133,6 +134,9 @@ def _gen_html(rng: random.Random, i: int, lang: str) -> bytes:
                          + _words(rng, 3))
         elif kind == 10:
             parts.append(_words(rng, rng.randint(2, 8)))
+            if i % 9 == 4 and bi < 3:
+                # deterministic sentence → phrase queries have hits
+                parts.append("Information Retrieval ranks web documents")
         else:
             parts.append("word</b>more" + _words(rng, 2))  # stray closing
     if i % 13 == 5:
