@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line on stdout).
+
+Headline pipeline: index build (pages parquet → parse → dedup → sharded
+segments) + BM25 serving of the reference query set, over a bench-scale
+page corpus synthesized deterministically from $GRAFT_SF_DIR's documents
+table (replicated GRAFT_BENCH_REPL× with distinct urls, FIXTURES.md §1)
+and materialized to parquet once (cached), so the measured pipeline starts
+from parquet like production.
+
+Env:
+  GRAFT_SF_DIR      input sf dir           (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS    ray.init num_cpus      (default 32)
+  GRAFT_BENCH_REPL  corpus replication     (default 40 → 200k pages at sf0.1)
+
+--scaling: run the headline twice in fresh processes (num_cpus=8 then 32)
+on the same input and report both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPL = int(os.environ.get("GRAFT_BENCH_REPL", "40"))
+BENCH_ROOT = "/tmp/search_engine_ray_bench"
+
+
+def ensure_bench_pages(sf_dir: str, repl: int) -> str:
+    """Materialize the bench page corpus to parquet once (content-keyed)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from search_engine_ray.sources.fixtures import (
+        pages_from_documents_batch, replicate_documents_batch)
+
+    key = hashlib.sha256(f"{sf_dir}|{repl}|v2".encode()).hexdigest()[:10]
+    out = os.path.join(BENCH_ROOT, f"pages_{key}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    pages = (docs
+             .map_batches(lambda b: replicate_documents_batch(b, repl),
+                          batch_format="pyarrow")
+             .map_batches(pages_from_documents_batch, batch_format="pyarrow"))
+    tmp = out + ".tmp"
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    pages.write_parquet(tmp)
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.search import SearchEngine
+    from search_engine_ray.query.refqueries import REF_QUERIES
+
+    results: dict[str, float] = {}
+
+    pages_dir = ensure_bench_pages(SF_DIR, REPL)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    rd.read_parquet(pages_dir, columns=["url"]).count()
+
+    def pages_factory(columns):
+        return rd.read_parquet(pages_dir, columns=columns)
+
+    index_dir = os.path.join(BENCH_ROOT, f"index_{NUM_CPUS}")
+    t0 = time.time()
+    man = build_index(pages_factory, index_dir, docs_per_shard=2048,
+                      force=True)
+    build_s = time.time() - t0
+    n_docs = man["stats"]["n_docs"]
+    results["build_index_sec"] = round(build_s, 3)
+    results["build_docs_per_sec"] = round(n_docs / build_s, 1)
+    results["n_docs"] = n_docs
+
+    # query serving: per-query latency over the reference set, 3 rounds
+    eng = SearchEngine(index_dir)
+    lat_ms = []
+    t0 = time.time()
+    for _ in range(3):
+        for q in REF_QUERIES:
+            tq = time.time()
+            eng.search(q, k=10)
+            lat_ms.append((time.time() - tq) * 1000)
+    query_s = time.time() - t0
+    lat_ms.sort()
+    results["query_total_sec"] = round(query_s, 3)
+    results["query_p50_ms"] = round(statistics.median(lat_ms), 2)
+    results["query_p99_ms"] = round(
+        lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 2)
+
+    # throughput mode: saturate the actor pool with concurrent queries
+    plans = [(eng.compile(q), q) for q in REF_QUERIES]
+    t0 = time.time()
+    n_inflight = 0
+    futures = []
+    for _ in range(5):
+        for plan, q in plans:
+            if plan is None:
+                continue
+            from search_engine_ray.pipelines.search import flatten_terms
+            idf = {t: eng.idf(t) for t, _ in flatten_terms(plan)}
+            futures.extend(a.search.remote(plan, 10, idf, eng.avgdl)
+                           for a in eng.actors)
+            n_inflight += 1
+    import ray as _ray
+    _ray.get(futures)
+    tput_s = time.time() - t0
+    results["query_throughput_qps"] = round(n_inflight / tput_s, 1)
+    eng.close()
+
+    # auxiliary operators at the sf dir (documents table scale)
+    from search_engine_ray.functions import ann, docops
+
+    for name, fn in [("dedup_exact", docops.dedup_exact),
+                     ("term_stats", docops.term_stats),
+                     ("ann_topk", ann.ann_topk)]:
+        t0 = time.time()
+        out = fn(SF_DIR)
+        if hasattr(out, "materialize"):
+            out.materialize()
+        results[f"{name}_sec"] = round(time.time() - t0, 3)
+
+    headline = results["build_index_sec"] + results["query_total_sec"]
+    ray.shutdown()
+    return {
+        "metric": "index_build_plus_query_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_pages": n_docs,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    dps_lo = r_lo["queries"]["build_docs_per_sec"]
+    dps_hi = r_hi["queries"]["build_docs_per_sec"]
+    eff_build = dps_hi / (dps_lo * hi / lo)   # throughput ratio criterion
+    qps_lo = r_lo["queries"].get("query_throughput_qps", 0)
+    qps_hi = r_hi["queries"].get("query_throughput_qps", 0)
+    eff_query = qps_hi / (qps_lo * hi / lo) if qps_lo else None
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff_build, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": dps_lo, "docs_per_sec_hi": dps_hi,
+        "query_qps_lo": qps_lo, "query_qps_hi": qps_hi,
+        "query_scaling_efficiency": round(eff_query, 3) if eff_query else None,
+        "query_p50_ms_lo": r_lo["queries"]["query_p50_ms"],
+        "query_p50_ms_hi": r_hi["queries"]["query_p50_ms"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -142,3 +142,42 @@ def fnv1a_64_np(strs) -> np.ndarray:
     for i, s in enumerate(strs):
         out[i] = fnv1a_64(s.encode("utf-8") if isinstance(s, str) else s)
     return out
+
+
+def fnv1a_64_arrow(col) -> np.ndarray:
+    """64-bit FNV-1a over an Arrow string column, vectorized byte-position-
+    wise over the column's raw buffers (identical values to fnv1a_64;
+    O(max_len) numpy passes instead of a Python loop per byte)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    outs = []
+    prime = np.uint64(0x100000001B3)
+    for chunk in chunks:
+        chunk = chunk.cast(pa.string()) if chunk.type != pa.string() else chunk
+        n = len(chunk)
+        if n == 0:
+            continue
+        bufs = chunk.buffers()
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else \
+            np.empty(0, np.uint8)
+        offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+            chunk.offset:chunk.offset + n + 1].astype(np.int64)
+        starts, ends = offsets[:-1], offsets[1:]
+        lens = ends - starts
+        h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+        max_len = int(lens.max()) if n else 0
+        for i in range(max_len):
+            m = lens > i
+            idx = starts[m] + i
+            hb = h[m]
+            hb ^= data[idx].astype(np.uint64)
+            hb *= prime
+            h[m] = hb
+        outs.append(h)
+    if not outs:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(outs)

@@ -176,11 +176,27 @@ def gen_pages(n: int = 200, seed: int = 42, dup_frac: float = 0.03) -> pa.Table:
     })
 
 
-def pages_from_documents_batch(batch: pa.Table, seed: int = 42) -> pa.Table:
+def replicate_documents_batch(batch: pa.Table, repl: int) -> pa.Table:
+    """Replicate a documents batch ``repl`` times with distinct doc_ids
+    (rep * 10M offset) — the FIXTURES.md bench-scale duplication."""
+    tables = []
+    for rep in range(repl):
+        t = batch.set_column(
+            batch.schema.get_field_index("doc_id"), "doc_id",
+            pa.compute.add(batch.column("doc_id"), rep * 10_000_000))
+        tables.append(t)
+    return pa.concat_tables(tables)
+
+
+def pages_from_documents_batch(batch: pa.Table, seed: int = 42,
+                               body_repeats: int = 1) -> pa.Table:
     """Wrap a ``documents`` batch (doc_id, text, lang, ...) into pages.
 
     Deterministic per doc_id (independent of batching/order) so the same
-    corpus is produced at any parallelism level.
+    corpus is produced at any parallelism level. ``body_repeats`` inflates
+    the body toward realistic Common-Crawl page sizes (the raw documents
+    are ~400B; real pages are tens of KB) — each repeat is a <p> block so
+    parse work grows proportionally.
     """
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
@@ -193,6 +209,11 @@ def pages_from_documents_batch(batch: pa.Table, seed: int = 42) -> pa.Table:
         words = text.split()
         title = " ".join(words[:8]) if words else f"doc {doc_id}"
         body = text
+        if body_repeats > 1:
+            body = "</p><p>".join(
+                " ".join(words[(r * 7) % max(len(words) - 1, 1):]
+                         + words[:(r * 7) % max(len(words) - 1, 1)])
+                for r in range(body_repeats))
         bold = " ".join(words[8:12])
         html = (f'<html lang="{lang}"><head><title>{title}</title></head>'
                 f"<body><h1>{title}</h1><p>{body}</p><b>{bold}</b>"

@@ -67,7 +67,7 @@ def test_build_stats(index_dir):
     expect_avgdl = sum(len(t) for t in docs.values()) / len(docs)
     assert abs(man["stats"]["avgdl"] - expect_avgdl) < 1e-9
     assert man["stats"]["num_shards"] >= 2
-    assert set(man["stages_done"]) == {"docs", "segments", "terms"}
+    assert {"docs", "segments", "terms"} <= set(man["stages_done"])
 
 
 def test_dedup_exactly_once(index_dir):
