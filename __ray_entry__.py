@@ -32,9 +32,22 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from search_engine_ray.functions import ann, docops, relational
+    from search_engine_ray.functions import (ann, dedup, docops, multimodal,
+                                             relational, textstats)
 
     return {
+        # near-dup detection family (non-SQL → rows-only checks; quality
+        # gated by tests/test_dedup.py recall assertions)
+        "minhash_dedup": dedup.minhash_dedup,
+        "simhash_dedup": dedup.simhash_dedup,
+        "embedding_neardup": dedup.embedding_neardup,
+        # text analysis
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "fingerprints": textstats.fingerprints,
+        # multimodal plumbing (stubbed decode, real actor-pool stages)
+        "media_image_features": _media_images,
+        "media_audio_frames": _media_audio,
         # §2.2 parse/tokenize surface (byte-identity invariant)
         "extract_text": docops.extract_text,
         "docmeta": docops.docmeta,
@@ -61,6 +74,20 @@ def _search_bm25(sf_dir: str) -> Any:
     from search_engine_ray.pipelines.flagship import run_reference_queries
 
     return run_reference_queries(sf_dir)
+
+
+def _media_images(sf_dir: str) -> Any:
+    from search_engine_ray.functions.multimodal import media_pipeline
+
+    images, _ = media_pipeline()
+    return images
+
+
+def _media_audio(sf_dir: str) -> Any:
+    from search_engine_ray.functions.multimodal import media_pipeline
+
+    _, audio = media_pipeline()
+    return audio
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,160 @@
+"""Near-dup detector quality gates: recall/precision on a corpus with
+planted near-duplicates, plus multimodal plumbing and text stats."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_sf_dir(tmp_path_factory):
+    """A fake sf dir whose documents table contains planted near-dup
+    clusters: doc i and doc i+1000 share ~90% of tokens."""
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(2000)]
+    ids, texts, langs, srcs = [], [], [], []
+    originals = {}
+    for i in range(120):
+        words = [rng.choice(vocab) for _ in range(80)]
+        originals[i] = words
+        ids.append(i)
+        texts.append(" ".join(words))
+        langs.append("en")
+        srcs.append("src0")
+    # planted near-dups: copy with ~8% token edits
+    for i in range(0, 120, 3):
+        words = list(originals[i])
+        for _ in range(6):
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        ids.append(1000 + i)
+        texts.append(" ".join(words))
+        langs.append("en")
+        srcs.append("src1")
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def brute_jaccard_pairs(sf_dir, threshold_bp):
+    from search_engine_ray.functions.dedup import _shingle_hashes
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    docs = {int(d): np.unique(_shingle_hashes(x))
+            for d, x in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist())}
+    ids = sorted(docs)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = docs[ids[i]], docs[ids[j]]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            if inter * 10000 // max(union, 1) >= threshold_bp:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def test_minhash_recall_and_precision(ray_session, planted_sf_dir):
+    from search_engine_ray.functions.dedup import minhash_dedup
+
+    got = minhash_dedup(planted_sf_dir, threshold_bp=7000)
+    got_pairs = set(zip(got.column("doc_a").to_pylist(),
+                        got.column("doc_b").to_pylist()))
+    truth = brute_jaccard_pairs(planted_sf_dir, 7000)
+    assert truth, "fixture must contain true near-dups"
+    # verification makes precision exact; LSH recall must be high
+    assert got_pairs <= truth or not (got_pairs - truth)
+    recall = len(got_pairs & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth))
+
+
+def test_minhash_no_false_positives_below_threshold(ray_session,
+                                                    planted_sf_dir):
+    from search_engine_ray.functions.dedup import minhash_dedup
+
+    got = minhash_dedup(planted_sf_dir, threshold_bp=7000)
+    for bp in got.column("jaccard_bp").to_pylist():
+        assert bp >= 7000
+
+
+def test_simhash_finds_planted_dups(ray_session, planted_sf_dir):
+    from search_engine_ray.functions.dedup import simhash_dedup
+
+    got = simhash_dedup(planted_sf_dir, max_hamming=10)
+    pairs = set(zip(got.column("doc_a").to_pylist(),
+                    got.column("doc_b").to_pylist()))
+    planted = {(i, 1000 + i) for i in range(0, 120, 3)}
+    found = len(pairs & planted)
+    assert found >= len(planted) * 0.5, (found, len(planted))
+    for h in got.column("hamming").to_pylist():
+        assert h <= 10
+
+
+def test_embedding_neardup(ray_session, sf_dir):
+    from search_engine_ray.functions.dedup import embedding_neardup
+
+    got = embedding_neardup(sf_dir, threshold_bp=9000)
+    # symmetric, deduped, ordered pairs
+    seen = set()
+    for a, b, bp in zip(got.column("vec_a").to_pylist(),
+                        got.column("vec_b").to_pylist(),
+                        got.column("cos_bp").to_pylist()):
+        assert a < b
+        assert bp >= 9000
+        assert (a, b) not in seen
+        seen.add((a, b))
+
+
+def test_lang_id_on_real_languages(ray_session, tmp_path):
+    from search_engine_ray.functions.textstats import detect_lang
+
+    assert detect_lang("the cat and the dog are in the house") == "en"
+    assert detect_lang("der Hund und die Katze sind nicht da") == "de"
+    assert detect_lang("le chat est dans la maison et il dort") == "fr"
+    assert detect_lang("el perro es grande y la casa es una") == "es"
+    assert detect_lang("这是一个中文文档 关于搜索引擎") == "zh"
+    assert detect_lang("") == "und"
+
+
+def test_quality_and_fingerprints(ray_session, sf_dir):
+    from search_engine_ray.functions.textstats import (fingerprints,
+                                                       quality_score)
+
+    q = quality_score(sf_dir).to_pandas()
+    assert (q["quality_bp"] >= 0).all() and (q["quality_bp"] <= 10000).all()
+    f = fingerprints(sf_dir).to_pandas()
+    assert (f["n_fingerprints"] > 0).all()
+    # determinism
+    f2 = fingerprints(sf_dir).to_pandas()
+    assert f.sort_values("doc_id").reset_index(drop=True).equals(
+        f2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_multimodal_plumbing(ray_session):
+    from search_engine_ray.functions.multimodal import (ImageDecodeResize,
+                                                        media_pipeline,
+                                                        synth_media_table)
+
+    images, audio = media_pipeline(48)
+    img = images.to_pandas()
+    assert len(img) == 16  # one third of 48
+    assert (img["feat_dim"] == 32 * 32 * 3).all()
+    au = audio.to_pandas()
+    assert au.groupby("media_id").size().min() >= 1
+    # strict mode surfaces the stub explicitly
+    strict = ImageDecodeResize(strict=True)
+    with pytest.raises(NotImplementedError):
+        strict(synth_media_table(3))
