@@ -67,7 +67,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann.ann_topk_lsh,
         # flagship: index build + BM25 serving (non-SQL → rows-only check)
         "search_bm25": _search_bm25,
+        # reference-exact compat ranking, distributed per chunk
+        "search_compat": _search_compat,
     }
+
+
+def _search_compat(sf_dir: str) -> Any:
+    from search_engine_ray.pipelines.compat import compat_search
+
+    return compat_search(sf_dir)
 
 
 def _search_bm25(sf_dir: str) -> Any:

@@ -102,6 +102,32 @@ def scoring_terms(node):
     return out
 
 
+def pure_disjunction_terms(node, idf: dict[str, float],
+                           synonym: bool = False):
+    """If the plan is a pure disjunction of words (Or/SynOr over Word
+    leaves only), return [(term, idf*weight)] for the WAND path; else
+    None. Duplicate terms keep their first weight (flatten semantics)."""
+    out: list[tuple[str, float]] = []
+    seen: set[str] = set()
+
+    def walk(n, syn) -> bool:
+        if n is None:
+            return True
+        if isinstance(n, qc.Word):
+            if n.stem_ and n.stem_ not in seen:
+                seen.add(n.stem_)
+                w = idf.get(n.stem_, 0.0) * (SYN_WEIGHT if syn else 1.0)
+                out.append((n.stem_, w))
+            return True
+        if isinstance(n, qc.Or):
+            return walk(n.left, syn) and walk(n.right, syn)
+        if isinstance(n, qc.SynOr):
+            return walk(n.left, syn) and walk(n.rest, True)
+        return False
+
+    return out if walk(node, synonym) else None
+
+
 # ---------------------------------------------------------------------------
 # per-shard evaluation
 # ---------------------------------------------------------------------------
@@ -208,9 +234,120 @@ class ShardIndex:
                 out.append(d)
         return np.asarray(out, dtype=np.int64)
 
+    # -- block-max WAND (pure-disjunction top-k, the scale path) ------------
+    def wand_topk(self, weighted_terms: list[tuple[str, float]], k: int,
+                  avgdl: float) -> list[tuple[float, int]]:
+        """Block-max WAND (Broder et al. 2003 / Ding & Suel 2011) over this
+        shard: per-term cursors with per-128-doc block max impacts skip
+        documents that cannot enter the current top-k. Returns (score,
+        doc_id) descending; exact same scores as exhaustive evaluation."""
+        import heapq
+
+        cursors = []
+        for term, w in weighted_terms:
+            tp = self.lookup(term)
+            if tp is not None and w > 0:
+                ub = float(tp.block_max_impact.max()) * w
+                cursors.append({"tp": tp, "w": w, "i": 0, "ub": ub})
+        if not cursors:
+            return []
+        INF = np.iinfo(np.int64).max
+        heap: list[tuple[float, int]] = []  # min-heap of (score, doc_id)
+
+        def cur_doc(c):
+            tp = c["tp"]
+            return int(tp.doc_ids[c["i"]]) if c["i"] < len(tp.doc_ids) \
+                else INF
+
+        def block_ub(c, doc):
+            tp = c["tp"]
+            b = int(np.searchsorted(tp.block_last_doc, doc))
+            if b >= len(tp.block_max_impact):
+                return 0.0
+            return float(tp.block_max_impact[b]) * c["w"]
+
+        while True:
+            cursors.sort(key=cur_doc)
+            threshold = heap[0][0] if len(heap) >= k else 0.0
+            acc = 0.0
+            pivot = -1
+            for idx, c in enumerate(cursors):
+                if cur_doc(c) == INF:
+                    break
+                acc += c["ub"]
+                if acc > threshold:
+                    pivot = idx
+                    break
+            if pivot == -1:
+                break
+            pivot_doc = cur_doc(cursors[pivot])
+            if pivot_doc == INF:
+                break
+            # block-max refinement: tighter bound from current blocks
+            bm_acc = sum(block_ub(c, pivot_doc)
+                         for c in cursors[:pivot + 1])
+            if len(heap) >= k and bm_acc <= threshold:
+                # BMW-safe skip: no doc in [pivot_doc, d_next) can beat the
+                # threshold, where d_next is the nearest block boundary of
+                # the leading cursors, capped by the next cursor's doc
+                d_next = INF
+                for c in cursors[:pivot + 1]:
+                    tp = c["tp"]
+                    b = int(np.searchsorted(tp.block_last_doc, pivot_doc))
+                    if b < len(tp.block_last_doc):
+                        d_next = min(d_next, int(tp.block_last_doc[b]) + 1)
+                if pivot + 1 < len(cursors):
+                    nxt_doc = cur_doc(cursors[pivot + 1])
+                    if nxt_doc != INF:
+                        d_next = min(d_next, nxt_doc)
+                d_next = max(d_next, pivot_doc + 1)
+                for c in cursors[:pivot + 1]:
+                    if cur_doc(c) < d_next:
+                        tp = c["tp"]
+                        c["i"] += int(np.searchsorted(
+                            tp.doc_ids[c["i"]:], d_next))
+                continue
+            if cur_doc(cursors[0]) == pivot_doc:
+                # fully evaluate pivot_doc
+                dl = float(self.doc_dl(np.asarray([pivot_doc]))[0])
+                score = 0.0
+                for c in cursors:
+                    if cur_doc(c) == pivot_doc:
+                        tp = c["tp"]
+                        tf = float(tp.tfs[c["i"]])
+                        score += c["w"] * (tf / (tf + seg.K1 * (
+                            1 - seg.B + seg.B * dl / avgdl)))
+                        c["i"] += 1
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                elif (score, -pivot_doc) > heap[0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+            else:
+                # advance the largest-ub cursor that is strictly before the
+                # pivot doc (choosing one already AT pivot_doc would make
+                # no progress → livelock)
+                behind = [c for c in cursors[:pivot + 1]
+                          if cur_doc(c) < pivot_doc]
+                lead = max(behind, key=lambda c: c["ub"])
+                tp = lead["tp"]
+                lead["i"] += int(np.searchsorted(
+                    tp.doc_ids[lead["i"]:], pivot_doc))
+        out = sorted(((s, -nd) for s, nd in heap),
+                     key=lambda x: (-x[0], x[1]))
+        return [(s, d) for s, d in out]
+
     # -- scoring ------------------------------------------------------------
     def score_topk(self, plan, k: int, idf: dict[str, float],
                    avgdl: float) -> list[tuple[float, int, str, str]]:
+        # pure disjunctions take the block-max WAND path (no candidate
+        # materialization; docs that cannot reach the top-k are skipped)
+        wand_terms = pure_disjunction_terms(plan, idf)
+        if wand_terms is not None:
+            out = []
+            for score, doc_id in self.wand_topk(wand_terms, k, avgdl):
+                url, title = self.doc_meta(doc_id)
+                out.append((score, doc_id, url, title))
+            return out
         cand = self.eval(plan)
         if not len(cand):
             return []
