@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_by_segment": relational.orders_by_segment,
         "events_tumbling_window": relational.events_tumbling_window,
+        "orders_by_month": relational.orders_by_month,
+        "top_parts_by_price": relational.top_parts_by_price,
+        "suppliers_per_region": relational.suppliers_per_region,
+        "source_stats": relational.source_stats,
         # similarity search
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -106,6 +110,10 @@ def oracle_sql() -> dict[str, str]:
     out["q1_pricing_summary"] = relational.SQL_Q1
     out["orders_by_segment"] = relational.SQL_ORDERS_BY_SEGMENT
     out["events_tumbling_window"] = relational.SQL_EVENTS_WINDOW
+    out["orders_by_month"] = relational.SQL_ORDERS_BY_MONTH
+    out["top_parts_by_price"] = relational.SQL_TOP_PARTS
+    out["suppliers_per_region"] = relational.SQL_SUPPLIERS_PER_REGION
+    out["source_stats"] = relational.SQL_SOURCE_STATS
     out["ann_topk"] = ann.SQL_ANN_TOPK
     # ann_topk_lsh: approximate → rows-only check (recall is pytest-gated)
     return out

@@ -147,3 +147,112 @@ FROM events
 GROUP BY event_type, window_us
 ORDER BY event_type, window_us
 """
+
+
+# ---------------------------------------------------------------------------
+def orders_by_month(sf_dir: str):
+    """Orders per calendar month: year/month extracted vectorized."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "year": b["o_orderdate"].dt.year.astype("int64"),
+            "month": b["o_orderdate"].dt.month.astype("int64"),
+            "n_orders": np.ones(len(b), np.int64),
+            "total_cents": _cents(b["o_totalprice"].to_numpy()),
+        })
+        return g.groupby(["year", "month"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["year", "month"]).aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"))
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+       CAST(month(o_orderdate) AS BIGINT) AS month,
+       COUNT(*) AS n_orders,
+       SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_cents
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+def top_parts_by_price(sf_dir: str, k: int = 20):
+    """Global top-k by retail price (sort + limit; cents + key tiebreak)."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": b["p_partkey"].astype("int64"),
+            "price_cents": _cents(b["p_retailprice"].to_numpy()),
+        })
+
+    top = (ds.map_batches(prep, batch_format="pandas")
+           .sort(["price_cents", "p_partkey"], descending=[True, False])
+           .limit(k).to_pandas())
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "p_partkey", "price_cents"]]
+
+
+SQL_TOP_PARTS = """
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) DESC,
+                  p_partkey) AS BIGINT) AS rank,
+       p_partkey,
+       CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+FROM part ORDER BY rank LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+def suppliers_per_region(sf_dir: str):
+    """Three-table broadcast join: supplier → nation → region."""
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = read_table(sf_dir, "region",
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put((n2r, r2name))
+
+    ds = read_table(sf_dir, "supplier", columns=["s_nationkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n2r_, r2name_ = ray.get(lookup_ref)
+        names = b["s_nationkey"].map(lambda nk: r2name_[n2r_[nk]])
+        g = pd.DataFrame({"r_name": names,
+                          "n_suppliers": np.ones(len(b), np.int64)})
+        return g.groupby("r_name", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("r_name").aggregate(
+        Sum("n_suppliers", alias_name="n_suppliers"))
+
+
+SQL_SUPPLIERS_PER_REGION = """
+SELECT r_name, COUNT(*) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+def source_stats(sf_dir: str):
+    """Documents per source with char totals."""
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"))
+
+
+SQL_SOURCE_STATS = """
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY source ORDER BY source
+"""
