@@ -405,7 +405,7 @@ class SearchEngine:
     """Compile queries, fan out to the searcher pool, merge top-k."""
 
     def __init__(self, index_dir: str, num_searchers: int | None = None,
-                 use_synonyms: bool = True):
+                 use_synonyms: bool = True, cache_size: int = 0):
         man = seg.read_manifest(index_dir)
         if man is None or "terms" not in man.get("stages_done", []):
             raise FileNotFoundError(f"no complete index at {index_dir}")
@@ -425,6 +425,11 @@ class SearchEngine:
         self.actors = [SegmentSearcher.remote(index_dir, sh)
                        for sh in assign if sh]
         ray.get([a.ready.remote() for a in self.actors])
+        # optional per-engine result LRU (the reference ships an unused
+        # LRU cache template, lib/cache.h — T5); off by default so latency
+        # benchmarks stay honest
+        self._cache_size = cache_size
+        self._cache: dict[tuple[str, int], pa.Table] = {}
 
     def idf(self, term: str) -> float:
         df = self._df.get(term, 0)
@@ -436,6 +441,10 @@ class SearchEngine:
         return qc.compile_query(query, self.synsets, title_stem_fix=True)
 
     def search(self, query: str, k: int = 10) -> pa.Table:
+        if self._cache_size:
+            hit = self._cache.get((query, k))
+            if hit is not None:
+                return hit
         plan = self.compile(query)
         cols = {"rank": [], "score": [], "doc_id": [], "url": [], "title": []}
         if plan is not None:
@@ -450,13 +459,18 @@ class SearchEngine:
                 cols["doc_id"].append(doc_id)
                 cols["url"].append(url)
                 cols["title"].append(title)
-        return pa.table({
+        result = pa.table({
             "rank": pa.array(cols["rank"], pa.int64()),
             "score": pa.array(cols["score"], pa.float64()),
             "doc_id": pa.array(cols["doc_id"], pa.int64()),
             "url": pa.array(cols["url"], pa.string()),
             "title": pa.array(cols["title"], pa.string()),
         })
+        if self._cache_size:
+            if len(self._cache) >= self._cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[(query, k)] = result
+        return result
 
     def close(self) -> None:
         for a in self.actors:
