@@ -29,10 +29,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPL = int(os.environ.get("GRAFT_BENCH_REPL", "40"))
+BODY = int(os.environ.get("GRAFT_BENCH_BODY", "1"))
 BENCH_ROOT = "/tmp/search_engine_ray_bench"
 
 
-def ensure_bench_pages(sf_dir: str, repl: int) -> str:
+def ensure_bench_pages(sf_dir: str, repl: int, body: int = 1) -> str:
     """Materialize the bench page corpus to parquet once (content-keyed)."""
     import hashlib
 
@@ -41,7 +42,7 @@ def ensure_bench_pages(sf_dir: str, repl: int) -> str:
     from search_engine_ray.sources.fixtures import (
         pages_from_documents_batch, replicate_documents_batch)
 
-    key = hashlib.sha256(f"{sf_dir}|{repl}|v2".encode()).hexdigest()[:10]
+    key = hashlib.sha256(f"{sf_dir}|{repl}|{body}|v3".encode()).hexdigest()[:10]
     out = os.path.join(BENCH_ROOT, f"pages_{key}")
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
@@ -50,7 +51,8 @@ def ensure_bench_pages(sf_dir: str, repl: int) -> str:
     pages = (docs
              .map_batches(lambda b: replicate_documents_batch(b, repl),
                           batch_format="pyarrow")
-             .map_batches(pages_from_documents_batch, batch_format="pyarrow"))
+             .map_batches(lambda b: pages_from_documents_batch(
+                 b, body_repeats=body), batch_format="pyarrow"))
     tmp = out + ".tmp"
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
@@ -79,7 +81,7 @@ def run_bench() -> dict:
 
     results: dict[str, float] = {}
 
-    pages_dir = ensure_bench_pages(SF_DIR, REPL)
+    pages_dir = ensure_bench_pages(SF_DIR, REPL, BODY)
     # warm the page cache so we measure compute+shuffle, not first disk read
     rd.read_parquet(pages_dir, columns=["url"]).count()
 

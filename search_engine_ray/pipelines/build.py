@@ -282,7 +282,11 @@ class _SegmentShardTask:
         import pyarrow.parquet as pq
 
         out_shards, out_terms, out_postings = [], [], []
-        for shard in batch.column("shard").to_pylist():
+        build_ids = (batch.column("build_id").to_pylist()
+                     if "build_id" in batch.column_names
+                     else [""] * batch.num_rows)
+        for shard, build_id in zip(batch.column("shard").to_pylist(),
+                                   build_ids):
             shard = int(shard)
             src = os.path.join(self.docs_dir, f"shard={shard}")
             dst = os.path.join(self.segments_dir, f"shard={shard}")
@@ -296,7 +300,7 @@ class _SegmentShardTask:
             pq.write_table(segment.drop_columns(["shard"]),
                            os.path.join(tmp, "segment.parquet"))
             with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-                f.write("ok")
+                f.write(build_id)
             shutil.rmtree(dst, ignore_errors=True)
             os.replace(tmp, dst)
             out_shards.append(shard)
@@ -347,7 +351,13 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
     ``columns`` when given (so the dedup url pass never reads html).
     Returns the manifest dict.
     """
-    cfg = {"docs_per_shard": docs_per_shard, "version": 8}
+    from ray.data import DataContext
+    try:  # ~10% faster map-side sort blocks for the cluster exchange
+        DataContext.get_current().use_polars_sort = True
+    except Exception:
+        pass
+
+    cfg = {"docs_per_shard": docs_per_shard, "version": 9}
     cfg_hash = hashlib.sha256(
         json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
     os.makedirs(index_dir, exist_ok=True)
@@ -389,7 +399,8 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
         shutil.rmtree(docs_dir + "_flat", ignore_errors=True)
         _mark_stage(index_dir, "docs", cfg_hash,
                     cluster_wall_s=round(time.time() - tc, 3),
-                    docs_wall_s=round(time.time() - t0, 3))
+                    docs_wall_s=round(time.time() - t0, 3),
+                    docs_build_id=f"{cfg_hash}-{time.time_ns()}")
 
     man = seg.read_manifest(index_dir)
     num_shards = man["stats"]["num_shards"]
@@ -402,14 +413,38 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
         avgdl = float(stats["total_dl"]) / max(n_docs, 1)
 
         os.makedirs(segments_dir, exist_ok=True)
-        work = [{"shard": s} for s in range(num_shards)
-                if not os.path.exists(
-                    os.path.join(segments_dir, f"shard={s}", "_SUCCESS"))]
+        # a shard is done only if its _SUCCESS marker matches the CURRENT
+        # docs build — markers from an older docs build are stale (e.g.
+        # after force=True or a config change rebuilt the docs stage)
+        build_id = man["stats"].get("docs_build_id", cfg_hash)
+
+        def _shard_done(s: int) -> bool:
+            marker = os.path.join(segments_dir, f"shard={s}", "_SUCCESS")
+            try:
+                with open(marker) as f:
+                    return f.read().strip() == build_id
+            except OSError:
+                return False
+
+        # drop shard dirs beyond the current shard count (stale layout)
+        for name in os.listdir(segments_dir):
+            if name.startswith("shard=") \
+                    and int(name.split("=", 1)[1]) >= num_shards:
+                shutil.rmtree(os.path.join(segments_dir, name),
+                              ignore_errors=True)
+        work = [{"shard": s, "build_id": build_id}
+                for s in range(num_shards) if not _shard_done(s)]
         if work:
+            # stateful actor-pool merge workers (north-rule component):
+            # config held per actor, one shard merged+encoded per batch
+            n_workers = max(1, min(
+                len(work), int(ray.cluster_resources().get("CPU", 8))))
             shard_tasks = rd.from_items(work).map_batches(
-                _SegmentShardTask(docs_dir, segments_dir, avgdl),
-                batch_size=1, batch_format="pyarrow", concurrency=None)
-            shard_tasks.materialize()  # drive the per-shard tasks
+                _SegmentShardTask,
+                fn_constructor_args=(docs_dir, segments_dir, avgdl),
+                batch_size=1, batch_format="pyarrow",
+                concurrency=n_workers)
+            shard_tasks.materialize()  # drive the per-shard workers
         _mark_stage(index_dir, "segments", cfg_hash, n_docs=n_docs,
                     avgdl=avgdl, segments_wall_s=round(time.time() - t1, 3))
 

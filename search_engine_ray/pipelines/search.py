@@ -199,13 +199,38 @@ class ShardIndex:
                                     assume_unique=True)
             return np.intersect1d(self.eval(l), self.eval(r),
                                   assume_unique=True)
-        if isinstance(node, qc.Or):
-            return np.union1d(self.eval(node.left), self.eval(node.right))
-        if isinstance(node, qc.SynOr):
+        if isinstance(node, (qc.Or, qc.SynOr)):
+            # word-only disjunction subtrees union in one shot (62-term
+            # synonym chains would otherwise do 62 pairwise union1d passes)
+            leaves: list[str] = []
+            if self._collect_or_words(node, leaves):
+                arrs = [tp.doc_ids for tp in
+                        (self.lookup(t) for t in leaves) if tp is not None]
+                if not arrs:
+                    return _EMPTY
+                return np.unique(np.concatenate(arrs))
+            if isinstance(node, qc.Or):
+                return np.union1d(self.eval(node.left),
+                                  self.eval(node.right))
             return np.union1d(self.eval(node.left), self.eval(node.rest))
         if isinstance(node, qc.Not):
             return _EMPTY
         raise TypeError(type(node))
+
+    @staticmethod
+    def _collect_or_words(node, out: list[str]) -> bool:
+        if node is None:
+            return True
+        if isinstance(node, qc.Word):
+            out.append(node.stem_)
+            return True
+        if isinstance(node, qc.Or):
+            return (ShardIndex._collect_or_words(node.left, out)
+                    and ShardIndex._collect_or_words(node.right, out))
+        if isinstance(node, qc.SynOr):
+            return (ShardIndex._collect_or_words(node.left, out)
+                    and ShardIndex._collect_or_words(node.rest, out))
+        return False
 
     def _eval_phrase(self, terms: list[str]) -> np.ndarray:
         if not terms:
@@ -340,8 +365,12 @@ class ShardIndex:
     def score_topk(self, plan, k: int, idf: dict[str, float],
                    avgdl: float) -> list[tuple[float, int, str, str]]:
         # pure disjunctions take the block-max WAND path (no candidate
-        # materialization; docs that cannot reach the top-k are skipped)
+        # materialization; docs that cannot reach the top-k are skipped).
+        # With many cursors (large synonym expansions) the per-doc Python
+        # loop loses to the vectorized exhaustive path — cap it.
         wand_terms = pure_disjunction_terms(plan, idf)
+        if wand_terms is not None and len(wand_terms) > 12:
+            wand_terms = None
         if wand_terms is not None:
             out = []
             for score, doc_id in self.wand_topk(wand_terms, k, avgdl):

@@ -98,14 +98,36 @@ def parse_doc(url: str, html: bytes) -> dict:
     }
 
 
+GOLDEN_RANK = os.path.join(os.path.dirname(__file__), "golden",
+                           "rank_golden.json")
+
+
+def _load_golden():
+    import json
+    if not os.path.exists(GOLDEN_RANK):
+        return None
+    with open(GOLDEN_RANK) as f:
+        raw = json.load(f)
+    return {int(k): [tuple(x) for x in v] for k, v in raw.items()}
+
+
+def _save_golden(ref_results):
+    import json
+    with open(GOLDEN_RANK, "w") as f:
+        json.dump({str(k): v for k, v in ref_results.items()}, f)
+
+
 @pytest.fixture(scope="module")
 def conformance(tmp_path_factory):
     exe = _build_harness()
-    if exe is None:
-        pytest.skip("no compiler / reference available")
     corpus = canonical_corpus()
     synsets = qc.get_default_synsets()
     plans = [qc.compile_query(q, synsets) for q in REF_QUERIES]
+    if exe is None:
+        golden = _load_golden()
+        if golden is None:
+            pytest.skip("no compiler / reference / golden available")
+        return corpus, plans, golden
 
     # binary input file for the harness
     buf = bytearray()
@@ -138,7 +160,9 @@ def conformance(tmp_path_factory):
             ref_results[cur].append(
                 (int(bits_hex, 16), url.decode(), title.decode()))
         elif line.startswith(b"ERROR"):
-            ref_results[cur] = ("ERROR", line)
+            ref_results[cur] = ("ERROR", line.decode("latin-1"))
+    if not os.path.exists(GOLDEN_RANK):
+        _save_golden(ref_results)
     return corpus, plans, ref_results
 
 
