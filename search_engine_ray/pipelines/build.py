@@ -189,46 +189,36 @@ def _emit_postings(t: pa.Table) -> pa.Table:
 
 
 def build_shard_segment(docs: pa.Table, shard: int, avgdl: float) -> pa.Table:
-    """Build one shard's full segment table in memory: emit + sort + encode.
+    """Build one shard's full segment table in memory, fully vectorized:
+    Arrow split → lexsort run detection (stages/emit.py) → per-term
+    delta-varint encode + 128-doc block-max.
 
     Runs inside a per-shard task over docs/shard=N (at most docs_per_shard
     docs — the explicit skew/size bound, SURVEY.md §4.3)."""
     from ..kernels import varint
-    from ..kernels.varint import encode_varint
+    from ..stages.emit import emit_postings_columnar
 
-    doc_ids_col = docs.column("doc_id").to_pylist()
-    dls_col = docs.column("dl").to_pylist()
-    term_strs = docs.column("terms").to_pylist()
+    doc_ids_in = np.asarray(docs.column("doc_id").to_pylist(),
+                            dtype=np.int64)
+    dls_in = np.asarray(docs.column("dl").to_pylist(), dtype=np.int64)
+    runs = emit_postings_columnar(doc_ids_in, dls_in, docs.column("terms"))
 
-    l_term, l_doc, l_tf, l_dl, l_pos = [], [], [], [], []
-    for did, dl, terms_s in zip(doc_ids_col, dls_col, term_strs):
-        positions: dict[str, list[int]] = {}
-        setdefault = positions.setdefault
-        for pos, term in enumerate(terms_s.split(" ") if terms_s else ()):
-            setdefault(term, []).append(pos)
-        for term, plist in positions.items():
-            buf = bytearray()
-            prev = None
-            for p in plist:
-                encode_varint(p if prev is None else p - prev, buf)
-                prev = p
-            l_term.append(term)
-            l_doc.append(did)
-            l_tf.append(len(plist))
-            l_dl.append(dl)
-            l_pos.append(bytes(buf))
+    terms = runs["terms"]
+    doc_ids = runs["run_doc"]
+    tfs = runs["run_tf"]
+    dls = runs["run_dl"]
+    pos_stream = runs["pos_stream"]
+    byte_offs = runs["run_byte_offsets"]
 
-    terms = np.asarray(l_term, dtype=object)
-    doc_ids = np.asarray(l_doc, dtype=np.int64)
-    tfs = np.asarray(l_tf, dtype=np.int64)
-    dls = np.asarray(l_dl, dtype=np.int64)
-
+    # runs arrive sorted by (term-code, doc); re-sort by term STRING so the
+    # output ordering is deterministic and binary-searchable
     order = np.lexsort((doc_ids, terms))
     terms = terms[order]
     doc_ids = doc_ids[order]
     tfs = tfs[order]
     dls = dls[order]
     impacts = seg.bm25_impact(tfs, dls, avgdl).astype(np.float32)
+    mv = memoryview(pos_stream)
 
     uniq, starts = np.unique(terms, return_index=True)
     bounds = np.append(starts, len(terms))
@@ -250,7 +240,9 @@ def build_shard_segment(docs: pa.Table, shard: int, avgdl: float) -> pa.Table:
         o_cf.append(int(t_tfs.sum()))
         o_docg.append(varint.encode_gaps(ids.astype(np.uint64)))
         o_tfs.append(varint.encode_u64_stream(t_tfs.astype(np.uint64)))
-        o_pos.append(b"".join(l_pos[order[j]] for j in range(lo, hi)))
+        o_pos.append(b"".join(
+            mv[byte_offs[order[j]]:byte_offs[order[j] + 1]]
+            for j in range(lo, hi)))
         o_blast.append(varint.encode_gaps(block_last.astype(np.uint64)))
         o_bmax.append(block_max.astype(np.float32).tobytes())
 
