@@ -34,6 +34,7 @@ sparse relative to text.
 from __future__ import annotations
 
 import re
+from itertools import repeat as _repeat
 from dataclasses import dataclass, field
 
 from .htmltags import Action, lookup_tag
@@ -167,9 +168,8 @@ class HtmlParser:
                     self.title_words.extend(words)
                 else:
                     flags = convert_flags(self.in_bold, self.in_heading, False)
-                    wf = self.words_flags
-                    for w in words:
-                        wf.append((w, flags))
+                    self.words_flags.extend(
+                        zip(words, _repeat(flags, len(words))))
         return lt
 
     # ------------------------------------------------------------------

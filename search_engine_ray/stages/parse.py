@@ -55,6 +55,22 @@ def _decode(b: bytes) -> str:
         return b.decode("latin-1")
 
 
+# bytes→stem cache: skips both the decode and the stemmer's own lru layer
+# for repeated tokens (Zipf makes the hit rate ~99% on web text); bounded
+# so a pathological vocabulary can't grow the worker heap unboundedly
+_STEM_CACHE: dict[bytes, str] = {}
+_STEM_CACHE_MAX = 2_000_000
+
+
+def _stem_bytes(w: bytes) -> str:
+    s = _STEM_CACHE.get(w)
+    if s is None:
+        s = stem(_decode(w))
+        if len(_STEM_CACHE) < _STEM_CACHE_MAX:
+            _STEM_CACHE[w] = s
+    return s
+
+
 def parse_pages_batch(batch: pa.Table) -> pa.Table:
     """pages(url, html, ...) → docs (DOCS_SCHEMA). Oversized-title pages are
     dropped here, mirroring the indexer's reject (F2)."""
@@ -68,7 +84,7 @@ def parse_pages_batch(batch: pa.Table) -> pa.Table:
     out_terms, out_flags, out_ntk = [], [], []
     out_wc, out_tl, out_nloc, out_ul, out_en, out_tld = [], [], [], [], [], []
 
-    _stem = stem
+    _sb = _stem_bytes
     for url, html, doc_id in zip(urls, htmls, doc_ids):
         p = HtmlParser(html)
         if len(p.title_words) >= 40:
@@ -76,17 +92,19 @@ def parse_pages_batch(batch: pa.Table) -> pa.Table:
         out_doc_id.append(doc_id)
         kept = []
         flags = bytearray()
+        kept_append = kept.append
+        flags_append = flags.append
         for w in p.title_words:
-            s = _stem(_decode(w))
+            s = _sb(w)
             if s:
-                kept.append("@" + s)
-                flags.append(0)
+                kept_append("@" + s)
+                flags_append(0)
         n_title_kept = len(kept)
         for w, fl in p.words_flags:
-            s = _stem(_decode(w))
+            s = _sb(w)
             if s:
-                kept.append(s)
-                flags.append(fl)
+                kept_append(s)
+                flags_append(fl)
         out_url.append(url)
         out_title.append(_decode(p.title_chunk))
         out_terms.append(" ".join(kept))
