@@ -146,166 +146,6 @@ def _assign_ids(num_shards: int):
     return fn
 
 
-def _emit_postings(t: pa.Table) -> pa.Table:
-    """docs → flat (shard, term, doc_id, tf, dl, pos_bytes) rows.
-
-    pos_bytes is the per-doc varint gap encoding (first absolute), so the
-    group encoder just concatenates byte slices in doc order — positions
-    never get re-materialized in the shuffle.
-    """
-    from ..kernels.varint import encode_varint
-
-    shards = t.column("shard").to_pylist()
-    doc_ids = t.column("doc_id").to_pylist()
-    dls = t.column("dl").to_pylist()
-    term_strs = t.column("terms").to_pylist()
-
-    o_shard, o_term, o_doc, o_tf, o_dl, o_pos = [], [], [], [], [], []
-    for sh, did, dl, terms_s in zip(shards, doc_ids, dls, term_strs):
-        positions: dict[str, list[int]] = {}
-        setdefault = positions.setdefault
-        for pos, term in enumerate(terms_s.split(" ") if terms_s else ()):
-            setdefault(term, []).append(pos)
-        for term, plist in positions.items():
-            buf = bytearray()
-            prev = None
-            for p in plist:
-                encode_varint(p if prev is None else p - prev, buf)
-                prev = p
-            o_shard.append(sh)
-            o_term.append(term)
-            o_doc.append(did)
-            o_tf.append(len(plist))
-            o_dl.append(dl)
-            o_pos.append(bytes(buf))
-    return pa.table({
-        "shard": pa.array(o_shard, pa.int32()),
-        "term": pa.array(o_term, pa.string()),
-        "doc_id": pa.array(o_doc, pa.int64()),
-        "tf": pa.array(o_tf, pa.int32()),
-        "dl": pa.array(o_dl, pa.int32()),
-        "pos_bytes": pa.array(o_pos, pa.binary()),
-    })
-
-
-def build_shard_segment(docs: pa.Table, shard: int, avgdl: float) -> pa.Table:
-    """Build one shard's full segment table in memory, fully vectorized:
-    Arrow split → lexsort run detection (stages/emit.py) → per-term
-    delta-varint encode + 128-doc block-max.
-
-    Runs inside a per-shard task over docs/shard=N (at most docs_per_shard
-    docs — the explicit skew/size bound, SURVEY.md §4.3)."""
-    from ..kernels import varint
-    from ..stages.emit import emit_postings_columnar
-
-    doc_ids_in = np.asarray(docs.column("doc_id").to_pylist(),
-                            dtype=np.int64)
-    dls_in = np.asarray(docs.column("dl").to_pylist(), dtype=np.int64)
-    runs = emit_postings_columnar(doc_ids_in, dls_in, docs.column("terms"))
-
-    terms = runs["terms"]
-    doc_ids = runs["run_doc"]
-    tfs = runs["run_tf"]
-    dls = runs["run_dl"]
-    pos_stream = runs["pos_stream"]
-    byte_offs = runs["run_byte_offsets"]
-
-    # runs arrive sorted by (term-code, doc); re-sort by term STRING so the
-    # output ordering is deterministic and binary-searchable
-    order = np.lexsort((doc_ids, terms))
-    terms = terms[order]
-    doc_ids = doc_ids[order]
-    tfs = tfs[order]
-    dls = dls[order]
-    impacts = seg.bm25_impact(tfs, dls, avgdl).astype(np.float32)
-    mv = memoryview(pos_stream)
-
-    uniq, starts = np.unique(terms, return_index=True)
-    bounds = np.append(starts, len(terms))
-
-    o_term, o_df, o_cf = [], [], []
-    o_docg, o_tfs, o_pos, o_blast, o_bmax = [], [], [], [], []
-    for t_i in range(len(uniq)):
-        lo, hi = bounds[t_i], bounds[t_i + 1]
-        ids = doc_ids[lo:hi]
-        t_tfs = tfs[lo:hi]
-        imp = impacts[lo:hi]
-        n = hi - lo
-        nblocks = (n + seg.BLOCK_SIZE - 1) // seg.BLOCK_SIZE
-        ends = np.minimum(np.arange(1, nblocks + 1) * seg.BLOCK_SIZE, n)
-        block_last = ids[ends - 1]
-        block_max = np.maximum.reduceat(imp, np.arange(0, n, seg.BLOCK_SIZE))
-        o_term.append(uniq[t_i])
-        o_df.append(n)
-        o_cf.append(int(t_tfs.sum()))
-        o_docg.append(varint.encode_gaps(ids.astype(np.uint64)))
-        o_tfs.append(varint.encode_u64_stream(t_tfs.astype(np.uint64)))
-        o_pos.append(b"".join(
-            mv[byte_offs[order[j]]:byte_offs[order[j] + 1]]
-            for j in range(lo, hi)))
-        o_blast.append(varint.encode_gaps(block_last.astype(np.uint64)))
-        o_bmax.append(block_max.astype(np.float32).tobytes())
-
-    return pa.table({
-        "shard": pa.array([shard] * len(uniq), pa.int32()),
-        "term": pa.array(list(o_term), pa.string()),
-        "df": pa.array(o_df, pa.int64()),
-        "cf": pa.array(o_cf, pa.int64()),
-        "doc_gaps": pa.array(o_docg, pa.binary()),
-        "tfs": pa.array(o_tfs, pa.binary()),
-        "pos_gaps": pa.array(o_pos, pa.binary()),
-        "block_last_doc": pa.array(o_blast, pa.binary()),
-        "block_max_impact": pa.array(o_bmax, pa.binary()),
-    })
-
-
-class _SegmentShardTask:
-    """Per-shard segment builder: reads docs/shard=N, writes
-    segments/shard=N atomically (tmp file + _SUCCESS marker). Stateless
-    apart from config; runs as plain Ray Data tasks over a shard-id list.
-    """
-
-    def __init__(self, docs_dir: str, segments_dir: str, avgdl: float):
-        self.docs_dir = docs_dir
-        self.segments_dir = segments_dir
-        self.avgdl = avgdl
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        out_shards, out_terms, out_postings = [], [], []
-        build_ids = (batch.column("build_id").to_pylist()
-                     if "build_id" in batch.column_names
-                     else [""] * batch.num_rows)
-        for shard, build_id in zip(batch.column("shard").to_pylist(),
-                                   build_ids):
-            shard = int(shard)
-            src = os.path.join(self.docs_dir, f"shard={shard}")
-            dst = os.path.join(self.segments_dir, f"shard={shard}")
-            docs = pq.read_table(src, columns=["doc_id", "dl", "terms"])
-            segment = build_shard_segment(docs, shard, self.avgdl)
-            tmp = dst + ".tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.makedirs(tmp)
-            # the hive dir name carries the shard; keeping the column too
-            # would clash with partition inference on whole-dir reads
-            pq.write_table(segment.drop_columns(["shard"]),
-                           os.path.join(tmp, "segment.parquet"))
-            with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-                f.write(build_id)
-            shutil.rmtree(dst, ignore_errors=True)
-            os.replace(tmp, dst)
-            out_shards.append(shard)
-            out_terms.append(segment.num_rows)
-            out_postings.append(int(pa.compute.sum(
-                segment.column("df")).as_py() or 0))
-        return pa.table({
-            "shard": pa.array(out_shards, pa.int32()),
-            "n_terms": pa.array(out_terms, pa.int64()),
-            "n_postings": pa.array(out_postings, pa.int64()),
-        })
-
-
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -349,7 +189,7 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
     except Exception:
         pass
 
-    cfg = {"docs_per_shard": docs_per_shard, "version": 9}
+    cfg = {"docs_per_shard": docs_per_shard, "version": 10}
     cfg_hash = hashlib.sha256(
         json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
     os.makedirs(index_dir, exist_ok=True)
@@ -362,8 +202,7 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
     terms_path = os.path.join(index_dir, "terms")
 
     t0 = time.time()
-    if not _stage_done(index_dir, "docs_flat", cfg_hash) \
-            and not _stage_done(index_dir, "docs", cfg_hash):
+    if not _stage_done(index_dir, "docs", cfg_hash):
         # shard count from the (pre-dedup) page count: metadata-only for
         # parquet sources, one cheap column pass for synthesized pages
         n_pages_estimate = pages_factory(["url"]).count()
@@ -374,71 +213,118 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
                                    batch_size=PARSE_BATCH_SIZE)
         docs = docs.map_batches(_assign_ids(num_shards),
                                 batch_format="pyarrow")
-        _atomic_write(docs, docs_dir + "_flat")
-        _mark_stage(index_dir, "docs_flat", cfg_hash,
+        _atomic_write(docs, docs_dir)
+        _mark_stage(index_dir, "docs", cfg_hash,
                     num_shards=num_shards,
                     parse_wall_s=round(time.time() - t0, 3))
 
-    tc = time.time()
-    if not _stage_done(index_dir, "docs", cfg_hash):
-        # cluster by shard — the single all-to-all of the build. Sorting the
-        # parquet checkpoint (not the live parse pipeline) matters: Ray's
-        # sort samples its input by executing the upstream, which would run
-        # the parser twice.
-        docs = rd.read_parquet(docs_dir + "_flat")
-        docs = docs.sort("shard")
-        _atomic_write(docs, docs_dir, partition_cols=["shard"])
-        shutil.rmtree(docs_dir + "_flat", ignore_errors=True)
-        _mark_stage(index_dir, "docs", cfg_hash,
-                    cluster_wall_s=round(time.time() - tc, 3),
+    tdm = time.time()
+    if not _stage_done(index_dir, "docmeta", cfg_hash):
+        # per-shard doc attributes for the query actors: a NARROW sort —
+        # the wide docs table (terms strings) is never shuffled at all
+        docmeta = rd.read_parquet(
+            docs_dir,
+            columns=["doc_id", "shard", "dl", "url", "title", "word_count",
+                     "title_length", "url_length", "english", "tld"])
+        docmeta = docmeta.sort("shard")
+        _atomic_write(docmeta, os.path.join(index_dir, "docmeta"),
+                      partition_cols=["shard"])
+        _mark_stage(index_dir, "docmeta", cfg_hash,
+                    docmeta_wall_s=round(time.time() - tdm, 3),
                     docs_wall_s=round(time.time() - t0, 3),
                     docs_build_id=f"{cfg_hash}-{time.time_ns()}")
 
     man = seg.read_manifest(index_dir)
     num_shards = man["stats"]["num_shards"]
+    num_groups = max(1, min(num_shards, 64))
+    # transient shuffle data lives on tmpfs (the single-node analogue of
+    # shuffling through node-local SSD/RAM); final artifacts stay on disk
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else index_dir
+    exchange_dir = os.path.join(
+        _shm, "se_exchange_" + hashlib.sha256(
+            os.path.abspath(index_dir).encode()).hexdigest()[:12])
+    build_id = man["stats"].get("docs_build_id", cfg_hash)
+
+    def _shard_done(s: int) -> bool:
+        marker = os.path.join(segments_dir, f"shard={s}", "_SUCCESS")
+        try:
+            with open(marker) as f:
+                return f.read().strip() == build_id
+        except OSError:
+            return False
 
     t1 = time.time()
     if not _stage_done(index_dir, "segments", cfg_hash):
-        stats = rd.read_parquet(docs_dir, columns=["dl"]).aggregate(
+        from .exchange import _GroupMergeWorker, _PartialExchangeWriter
+
+        stats = rd.read_parquet(os.path.join(index_dir, "docmeta"),
+                                columns=["dl"]).aggregate(
             Count(alias_name="n_docs"), Sum("dl", alias_name="total_dl"))
         n_docs = int(stats["n_docs"])
         avgdl = float(stats["total_dl"]) / max(n_docs, 1)
 
         os.makedirs(segments_dir, exist_ok=True)
-        # a shard is done only if its _SUCCESS marker matches the CURRENT
-        # docs build — markers from an older docs build are stale (e.g.
-        # after force=True or a config change rebuilt the docs stage)
-        build_id = man["stats"].get("docs_build_id", cfg_hash)
-
-        def _shard_done(s: int) -> bool:
-            marker = os.path.join(segments_dir, f"shard={s}", "_SUCCESS")
-            try:
-                with open(marker) as f:
-                    return f.read().strip() == build_id
-            except OSError:
-                return False
-
         # drop shard dirs beyond the current shard count (stale layout)
         for name in os.listdir(segments_dir):
             if name.startswith("shard=") \
                     and int(name.split("=", 1)[1]) >= num_shards:
                 shutil.rmtree(os.path.join(segments_dir, name),
                               ignore_errors=True)
-        work = [{"shard": s, "build_id": build_id}
-                for s in range(num_shards) if not _shard_done(s)]
-        if work:
-            # stateful actor-pool merge workers (north-rule component):
-            # config held per actor, one shard merged+encoded per batch
+
+        missing = [s for s in range(num_shards) if not _shard_done(s)]
+        if missing:
+            # map side: filesystem hash-exchange of vectorized posting runs
+            # (exchange stage marker is only valid while the dir exists —
+            # it is deleted after a completed segments stage)
+            if not (_stage_done(index_dir, "exchange", cfg_hash)
+                    and os.path.isdir(exchange_dir)):
+                shutil.rmtree(exchange_dir, ignore_errors=True)
+                os.makedirs(exchange_dir, exist_ok=True)
+                docs = rd.read_parquet(docs_dir,
+                                       columns=["doc_id", "dl", "terms"])
+                writer = _PartialExchangeWriter(exchange_dir, num_shards,
+                                                num_groups)
+                # plain function → stateless tasks (no actor-pool startup;
+                # the writer's "state" is three config values)
+                docs.map_batches(writer.__call__, batch_size=EMIT_BATCH_SIZE,
+                                 batch_format="pyarrow").materialize()
+                _mark_stage(index_dir, "exchange", cfg_hash,
+                            exchange_wall_s=round(time.time() - t1, 3))
+
+            # reduce side: stateful actor-pool merge workers (north-rule
+            # component) — one shard-group merged+encoded per batch
+            tmg = time.time()
+            groups = sorted({s % num_groups for s in missing})
             n_workers = max(1, min(
-                len(work), int(ray.cluster_resources().get("CPU", 8))))
-            shard_tasks = rd.from_items(work).map_batches(
-                _SegmentShardTask,
-                fn_constructor_args=(docs_dir, segments_dir, avgdl),
+                len(groups), int(ray.cluster_resources().get("CPU", 8))))
+            rd.from_items([{"grp": g} for g in groups]).map_batches(
+                _GroupMergeWorker,
+                fn_constructor_args=(exchange_dir, segments_dir, num_shards,
+                                     avgdl, build_id),
                 batch_size=1, batch_format="pyarrow",
-                concurrency=n_workers)
-            shard_tasks.materialize()  # drive the per-shard workers
+                concurrency=n_workers).materialize()
+            # shards with docs but no postings (or no docs) get an empty
+            # segment so the searcher can always open its shard
+            empty = [s for s in range(num_shards) if not _shard_done(s)]
+            for s_id in empty:
+                dst = os.path.join(segments_dir, f"shard={s_id}")
+                tmp = dst + ".tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.makedirs(tmp)
+                import pyarrow.parquet as _pq
+                _pq.write_table(seg.SEGMENT_SCHEMA.empty_table()
+                                .drop_columns(["shard"]),
+                                os.path.join(tmp, "segment.parquet"))
+                with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+                    f.write(build_id)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(tmp, dst)
+            _mark_stage(index_dir, "segments", cfg_hash,
+                        merge_wall_s=round(time.time() - tmg, 3))
+        shutil.rmtree(exchange_dir, ignore_errors=True)
         _mark_stage(index_dir, "segments", cfg_hash, n_docs=n_docs,
-                    avgdl=avgdl, segments_wall_s=round(time.time() - t1, 3))
+                    avgdl=avgdl, num_groups=num_groups,
+                    segments_wall_s=round(time.time() - t1, 3))
 
     t2 = time.time()
     if not _stage_done(index_dir, "terms", cfg_hash):
@@ -446,15 +332,19 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
         # partial (term, df, cf) rows; merge on the driver while the vocab
         # fits (a groupby execution costs more than the data here), else
         # fall back to the distributed groupby
-        segs = rd.read_parquet(segments_dir, columns=["term", "df", "cf"])
-        import pandas as pd
-        parts = [b for b in segs.iter_batches(batch_size=1_048_576,
-                                              batch_format="pandas")]
-        total_rows = sum(len(b) for b in parts)
-        if total_rows <= 20_000_000:
-            merged = (pd.concat(parts, ignore_index=True)
-                      .groupby("term", as_index=False)[["df", "cf"]].sum())
+        # per-shard vocab stats are tiny relative to the segments (the
+        # binary posting columns are pruned): below ~1 GB of segment files
+        # a direct pyarrow read + pandas merge on the driver beats any
+        # distributed execution; beyond that, distributed groupby
+        seg_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, files in os.walk(segments_dir) for f in files)
+        if seg_bytes <= 1 << 30:
+            import pandas as pd
             import pyarrow.parquet as _pq
+            t = _pq.read_table(segments_dir, columns=["term", "df", "cf"])
+            merged = (t.to_pandas()
+                      .groupby("term", as_index=False)[["df", "cf"]].sum())
             tmp = terms_path + ".tmp"
             shutil.rmtree(tmp, ignore_errors=True)
             os.makedirs(tmp)
@@ -463,6 +353,8 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
             shutil.rmtree(terms_path, ignore_errors=True)
             os.replace(tmp, terms_path)
         else:
+            segs = rd.read_parquet(segments_dir,
+                                   columns=["term", "df", "cf"])
             terms = segs.groupby("term").aggregate(
                 Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
             _atomic_write(terms, terms_path)

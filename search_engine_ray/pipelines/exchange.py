@@ -1,0 +1,223 @@
+"""Filesystem hash-exchange for the postings build — the MapReduce-style
+shuffle that replaces sorting the wide docs table.
+
+Map side (_PartialExchangeWriter, map_batches over the flat docs table):
+each batch's postings are emitted vectorized (stages/emit.py), grouped by
+shard-group (grp = (doc_id % num_shards) % num_groups), and written as ONE
+parquet file per batch with ONE ROW GROUP PER grp (sorted by grp) — so the
+reduce side's ``filters=[("grp","==",G)]`` read prunes to the matching row
+groups via parquet statistics instead of rescanning files.
+
+Reduce side (_GroupMergeWorker, actor pool over group ids): reads a
+group's partial runs, sorts them once by (term, shard, doc) — bounded by
+the group's share of the corpus, the explicit skew/size bound — and
+encodes final per-shard segment tables, written atomically per shard with
+build-id markers (idempotent resume at shard granularity; already-valid
+shards are skipped so their files/mtimes are untouched).
+
+A (term, doc) run is never split across partials because each doc lives in
+exactly one batch, so the merge is pure concatenation + sort, no
+re-aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..kernels import varint
+from ..stages.emit import emit_postings_columnar
+from ..state import segments as seg
+
+
+class _PartialExchangeWriter:
+    def __init__(self, exchange_dir: str, num_shards: int, num_groups: int):
+        self.exchange_dir = exchange_dir
+        self.num_shards = num_shards
+        self.num_groups = num_groups
+        os.makedirs(exchange_dir, exist_ok=True)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        dls = np.asarray(t.column("dl").to_pylist(), dtype=np.int64)
+        runs = emit_postings_columnar(doc_ids, dls, t.column("terms"))
+        n = len(runs["terms"])
+        if n == 0:
+            return pa.table({"n_runs": pa.array([0], pa.int64())})
+        shard = (runs["run_doc"] % self.num_shards).astype(np.int32)
+        grp = (shard % self.num_groups).astype(np.int32)
+        order = np.argsort(grp, kind="stable")
+
+        terms = runs["terms"][order]
+        docs = runs["run_doc"][order]
+        tfs = runs["run_tf"][order].astype(np.int32)
+        rdls = runs["run_dl"][order].astype(np.int32)
+        shards_o = shard[order]
+        grp_o = grp[order]
+        offs = runs["run_byte_offsets"]
+        mv = memoryview(runs["pos_stream"])
+        pos_blobs = [mv[offs[j]:offs[j + 1]] for j in order]
+
+        path = os.path.join(self.exchange_dir,
+                            f"part_{uuid.uuid4().hex}.parquet")
+        tmp = path + ".tmp"
+        uniq, starts = np.unique(grp_o, return_index=True)
+        bounds = np.append(starts, n)
+        writer = None
+        try:
+            for gi in range(len(uniq)):
+                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                tab = pa.table({
+                    "grp": pa.array(grp_o[lo:hi], pa.int32()),
+                    "shard": pa.array(shards_o[lo:hi], pa.int32()),
+                    "term": pa.array(list(terms[lo:hi]), pa.string()),
+                    "doc_id": pa.array(docs[lo:hi], pa.int64()),
+                    "tf": pa.array(tfs[lo:hi], pa.int32()),
+                    "dl": pa.array(rdls[lo:hi], pa.int32()),
+                    "pos": pa.array(pos_blobs[lo:hi], pa.binary()),
+                })
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, tab.schema)
+                writer.write_table(tab)  # one row group per grp
+        finally:
+            if writer is not None:
+                writer.close()
+        os.replace(tmp, path)
+        return pa.table({"n_runs": pa.array([n], pa.int64())})
+
+
+class _GroupMergeWorker:
+    """Stateful merge worker: merges one shard-group's partial runs into
+    final per-shard segments (encode + block-max), atomically."""
+
+    def __init__(self, exchange_dir: str, segments_dir: str,
+                 num_shards: int, avgdl: float, build_id: str):
+        self.exchange_dir = exchange_dir
+        self.segments_dir = segments_dir
+        self.num_shards = num_shards
+        self.avgdl = avgdl
+        self.build_id = build_id
+
+    def _shard_done(self, s: int) -> bool:
+        marker = os.path.join(self.segments_dir, f"shard={s}", "_SUCCESS")
+        try:
+            with open(marker) as f:
+                return f.read().strip() == self.build_id
+        except OSError:
+            return False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_shard, out_terms = [], []
+        for g in batch.column("grp").to_pylist():
+            g = int(g)
+            part = pq.read_table(self.exchange_dir,
+                                 filters=[("grp", "=", g)])
+            if part.num_rows == 0:
+                continue
+            terms_arr = part.column("term")
+            codes_a = terms_arr.combine_chunks().dictionary_encode()
+            codes = codes_a.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            vocab = np.asarray(codes_a.dictionary.to_pylist(), dtype=object)
+            docs = part.column("doc_id").to_numpy(zero_copy_only=False)
+            tfs = part.column("tf").to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            dls = part.column("dl").to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            shards = part.column("shard").to_numpy(zero_copy_only=False)
+            pos_col = part.column("pos").to_pylist()
+
+            order = np.lexsort((docs, codes, shards))
+            codes = codes[order]
+            docs_s = docs[order]
+            tfs_s = tfs[order]
+            dls_s = dls[order]
+            shards_s = shards[order]
+            impacts = seg.bm25_impact(tfs_s, dls_s,
+                                      self.avgdl).astype(np.float32)
+
+            # (shard, term) run boundaries
+            change = np.empty(len(codes), dtype=bool)
+            change[0] = True
+            change[1:] = ((shards_s[1:] != shards_s[:-1])
+                          | (codes[1:] != codes[:-1]))
+            rstarts = np.nonzero(change)[0]
+            rbounds = np.append(rstarts, len(codes))
+
+            # shard boundaries over the runs
+            per_shard: dict[int, dict[str, list]] = {}
+            for ri in range(len(rstarts)):
+                lo, hi = int(rbounds[ri]), int(rbounds[ri + 1])
+                sh = int(shards_s[lo])
+                if self._shard_done(sh):
+                    continue
+                ids = docs_s[lo:hi]
+                t_tfs = tfs_s[lo:hi]
+                imp = impacts[lo:hi]
+                n = hi - lo
+                nblocks = (n + seg.BLOCK_SIZE - 1) // seg.BLOCK_SIZE
+                ends = np.minimum(
+                    np.arange(1, nblocks + 1) * seg.BLOCK_SIZE, n)
+                r = per_shard.setdefault(sh, {
+                    "term": [], "df": [], "cf": [], "doc_gaps": [],
+                    "tfs": [], "pos_gaps": [], "block_last_doc": [],
+                    "block_max_impact": []})
+                r["term"].append(vocab[codes[lo]])
+                r["df"].append(n)
+                r["cf"].append(int(t_tfs.sum()))
+                r["doc_gaps"].append(
+                    varint.encode_gaps(ids.astype(np.uint64)))
+                r["tfs"].append(
+                    varint.encode_u64_stream(t_tfs.astype(np.uint64)))
+                r["pos_gaps"].append(
+                    b"".join(pos_col[order[j]] for j in range(lo, hi)))
+                r["block_last_doc"].append(
+                    varint.encode_gaps(ids[ends - 1].astype(np.uint64)))
+                r["block_max_impact"].append(np.maximum.reduceat(
+                    imp, np.arange(0, n, seg.BLOCK_SIZE)
+                ).astype(np.float32).tobytes())
+
+            for sh, r in per_shard.items():
+                # rows arrive sorted by term code; re-sort by term string
+                # for deterministic, binary-searchable segment files
+                t_order = np.argsort(np.asarray(r["term"], dtype=object))
+                tab = pa.table({
+                    "term": pa.array(
+                        [r["term"][i] for i in t_order], pa.string()),
+                    "df": pa.array(
+                        [r["df"][i] for i in t_order], pa.int64()),
+                    "cf": pa.array(
+                        [r["cf"][i] for i in t_order], pa.int64()),
+                    "doc_gaps": pa.array(
+                        [r["doc_gaps"][i] for i in t_order], pa.binary()),
+                    "tfs": pa.array(
+                        [r["tfs"][i] for i in t_order], pa.binary()),
+                    "pos_gaps": pa.array(
+                        [r["pos_gaps"][i] for i in t_order], pa.binary()),
+                    "block_last_doc": pa.array(
+                        [r["block_last_doc"][i] for i in t_order],
+                        pa.binary()),
+                    "block_max_impact": pa.array(
+                        [r["block_max_impact"][i] for i in t_order],
+                        pa.binary()),
+                })
+                dst = os.path.join(self.segments_dir, f"shard={sh}")
+                tmp = dst + ".tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.makedirs(tmp)
+                pq.write_table(tab, os.path.join(tmp, "segment.parquet"))
+                with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+                    f.write(self.build_id)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(tmp, dst)
+                out_shard.append(sh)
+                out_terms.append(tab.num_rows)
+        return pa.table({
+            "shard": pa.array(out_shard, pa.int32()),
+            "n_terms": pa.array(out_terms, pa.int64()),
+        })

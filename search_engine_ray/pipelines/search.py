@@ -144,7 +144,7 @@ class ShardIndex:
 
     def __init__(self, index_dir: str, shard: int):
         seg_path = os.path.join(index_dir, "segments", f"shard={shard}")
-        doc_path = os.path.join(index_dir, "docs", f"shard={shard}")
+        doc_path = os.path.join(index_dir, "docmeta", f"shard={shard}")
         t = pq.read_table(seg_path, memory_map=True)
         self._rows = {t.column("term")[i].as_py(): i
                       for i in range(t.num_rows)}
