@@ -121,6 +121,25 @@ def build_chunks(parsed_docs: list[dict], chunk_size: int = 5000
     return chunks
 
 
+def _decode_phrase_terms(stems: list[str]) -> list[str]:
+    """Wire-accurate phrase term list: the compiler joins stems with single
+    spaces (query.cpp:256-266) and the csolver's Aggregate_Phrase
+    (ast.cpp:210-228) collapses space RUNS but keeps the FINAL — possibly
+    empty — term. A phrase ending in a stopword therefore carries a
+    trailing "" term whose ISR is the always-empty ISRAbstract, making the
+    whole phrase unmatchable; reproduced exactly (found by rank fuzzing).
+    """
+    wire = " ".join(stems)
+    terms = [""]
+    for ch in wire:
+        if ch == " ":
+            if terms[-1]:
+                terms.append("")
+        else:
+            terms[-1] += ch
+    return terms
+
+
 def build_isr_root(index: ChunkIndex, plan):
     """Expr_AST::to_ISR over the decoded tree (ast.cpp:81-146,231-288)."""
     if plan is None:
@@ -128,8 +147,7 @@ def build_isr_root(index: ChunkIndex, plan):
     if isinstance(plan, qc.Word):
         return index.open_isr_word(plan.stem_)
     if isinstance(plan, qc.Phrase):
-        # wire join collapses empty stems (ast.cpp:217-224)
-        return ISRPhraseC(index, [s for s in plan.stems if s])
+        return ISRPhraseC(index, _decode_phrase_terms(plan.stems))
     if isinstance(plan, qc.And):
         return ISRAndC(build_isr_root(index, plan.left),
                        build_isr_root(index, plan.right))
