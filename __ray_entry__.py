@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed decode, real actor-pool stages)
         "media_image_features": _media_images,
         "media_audio_frames": _media_audio,
+        # link graph (F8 / anchor capture)
+        "link_edges": _link_edges,
+        "link_indegree": _link_indegree,
         # §2.2 parse/tokenize surface (byte-identity invariant)
         "extract_text": docops.extract_text,
         "docmeta": docops.docmeta,
@@ -102,6 +105,18 @@ def _media_audio(sf_dir: str) -> Any:
     return audio
 
 
+def _link_edges(sf_dir: str) -> Any:
+    from search_engine_ray.functions.links import link_edges
+
+    return link_edges(sf_dir)
+
+
+def _link_indegree(sf_dir: str) -> Any:
+    from search_engine_ray.functions.links import link_indegree
+
+    return link_indegree(sf_dir)
+
+
 def oracle_sql() -> dict[str, str]:
     from search_engine_ray.functions import ann, relational
     from search_engine_ray.functions.docops import SQL as DOC_SQL
@@ -115,5 +130,16 @@ def oracle_sql() -> dict[str, str]:
     out["suppliers_per_region"] = relational.SQL_SUPPLIERS_PER_REGION
     out["source_stats"] = relational.SQL_SOURCE_STATS
     out["ann_topk"] = ann.SQL_ANN_TOPK
+    # link_edges: the synthesized page template embeds exactly one anchor
+    # per document, so the parser-extracted edge list is SQL-expressible
+    from search_engine_ray.functions.docops import _TOKS, _URL_EXPR
+    out["link_edges"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT {_URL_EXPR} AS src,
+       'http://doc' || CAST((doc_id * 7 + 1) % 100000 AS VARCHAR)
+         || '.com/' AS dst,
+       array_to_string(toks[1:2], ' ') AS anchor
+FROM t ORDER BY doc_id
+"""
     # ann_topk_lsh: approximate → rows-only check (recall is pytest-gated)
     return out
