@@ -167,6 +167,15 @@ def _mark_stage(index_dir: str, stage: str, cfg_hash: str, **extra) -> dict:
     return man
 
 
+def _exchange_dir_for(index_dir: str) -> str:
+    """Transient shuffle data lives on tmpfs (the single-node analogue of
+    shuffling through node-local SSD/RAM); final artifacts stay on disk."""
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else index_dir
+    return os.path.join(
+        shm, "se_exchange_" + hashlib.sha256(
+            os.path.abspath(index_dir).encode()).hexdigest()[:12])
+
+
 def _atomic_write(ds: "rd.Dataset", out_dir: str, **kwargs) -> None:
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -189,7 +198,7 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
     except Exception:
         pass
 
-    cfg = {"docs_per_shard": docs_per_shard, "version": 10}
+    cfg = {"docs_per_shard": docs_per_shard, "version": 11}
     cfg_hash = hashlib.sha256(
         json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
     os.makedirs(index_dir, exist_ok=True)
@@ -213,9 +222,9 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
                                    batch_size=PARSE_BATCH_SIZE)
         docs = docs.map_batches(_assign_ids(num_shards),
                                 batch_format="pyarrow")
-        _atomic_write(docs, docs_dir)
+        _atomic_write(docs, os.path.join(docs_dir, "gen=0"))
         _mark_stage(index_dir, "docs", cfg_hash,
-                    num_shards=num_shards,
+                    num_shards=num_shards, generations=1,
                     parse_wall_s=round(time.time() - t0, 3))
 
     tdm = time.time()
@@ -237,12 +246,7 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
     man = seg.read_manifest(index_dir)
     num_shards = man["stats"]["num_shards"]
     num_groups = max(1, min(num_shards, 64))
-    # transient shuffle data lives on tmpfs (the single-node analogue of
-    # shuffling through node-local SSD/RAM); final artifacts stay on disk
-    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else index_dir
-    exchange_dir = os.path.join(
-        _shm, "se_exchange_" + hashlib.sha256(
-            os.path.abspath(index_dir).encode()).hexdigest()[:12])
+    exchange_dir = _exchange_dir_for(index_dir)
     build_id = man["stats"].get("docs_build_id", cfg_hash)
 
     def _shard_done(s: int) -> bool:
@@ -324,6 +328,8 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
         shutil.rmtree(exchange_dir, ignore_errors=True)
         _mark_stage(index_dir, "segments", cfg_hash, n_docs=n_docs,
                     avgdl=avgdl, num_groups=num_groups,
+                    shard_avgdl={str(s_): avgdl
+                                 for s_ in range(num_shards)},
                     segments_wall_s=round(time.time() - t1, 3))
 
     t2 = time.time()

@@ -142,7 +142,11 @@ class ShardIndex:
     and are cached (mirrors the csolver mmap+read-on-demand, main.cpp:59-108).
     """
 
-    def __init__(self, index_dir: str, shard: int):
+    def __init__(self, index_dir: str, shard: int, wand_ok: bool = True):
+        # wand_ok=False when this shard's block-max bounds were computed
+        # with a stale avgdl (after append_to_index, before
+        # refresh_block_max) — exact exhaustive scoring is used instead
+        self.wand_ok = wand_ok
         seg_path = os.path.join(index_dir, "segments", f"shard={shard}")
         doc_path = os.path.join(index_dir, "docmeta", f"shard={shard}")
         t = pq.read_table(seg_path, memory_map=True)
@@ -368,7 +372,8 @@ class ShardIndex:
         # materialization; docs that cannot reach the top-k are skipped).
         # With many cursors (large synonym expansions) the per-doc Python
         # loop loses to the vectorized exhaustive path — cap it.
-        wand_terms = pure_disjunction_terms(plan, idf)
+        wand_terms = (pure_disjunction_terms(plan, idf)
+                      if self.wand_ok else None)
         if wand_terms is not None and len(wand_terms) > 12:
             wand_terms = None
         if wand_terms is not None:
@@ -411,8 +416,12 @@ class ShardIndex:
 class SegmentSearcher:
     """Actor owning several shards (T3: state loaded once in __init__)."""
 
-    def __init__(self, index_dir: str, shards: list[int]):
-        self.shards = [ShardIndex(index_dir, s) for s in shards]
+    def __init__(self, index_dir: str, shards: list[int],
+                 wand_ok_shards: set[int] | None = None):
+        ok = wand_ok_shards
+        self.shards = [ShardIndex(index_dir, s,
+                                  wand_ok=(ok is None or s in ok))
+                       for s in shards]
 
     def ready(self) -> bool:
         return True
@@ -448,10 +457,14 @@ class SearchEngine:
         if num_searchers is None:
             num_searchers = min(num_shards, max(1, int(
                 ray.cluster_resources().get("CPU", 4)) // 2))
+        shard_avgdl = man["stats"].get("shard_avgdl", {})
+        wand_ok = {s for s in range(num_shards)
+                   if shard_avgdl.get(str(s), self.avgdl) == self.avgdl}
         assign: list[list[int]] = [[] for _ in range(num_searchers)]
         for s in range(num_shards):
             assign[s % num_searchers].append(s)
-        self.actors = [SegmentSearcher.remote(index_dir, sh)
+        self.actors = [SegmentSearcher.remote(index_dir, sh,
+                                              wand_ok & set(sh))
                        for sh in assign if sh]
         ray.get([a.ready.remote() for a in self.actors])
         # optional per-engine result LRU (the reference ships an unused

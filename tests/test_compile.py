@@ -85,3 +85,20 @@ def test_not_serialization():
     wire = qc.serialize(tree)
     assert wire.startswith(b"-|{@fast>{fast>")
     assert wire.endswith(b">#")  # null right child marker then QUERY_END
+
+
+def test_malformed_queries_do_not_crash():
+    """The reference client lists these as edge cases (client.cpp:38-46);
+    our compiler must return None (invalid) or a valid tree, never raise."""
+    cases = ["", "()", "-()", "a &", "& a", "(a & b", "a & b)",
+             "a & (b | -)", "a & (b | (c & ))", '"unterminated', "\\",
+             ">>><<<", "-", "|||", "a | | b", '""', '"" & a', "%", "a%2",
+             "(((((((a"]
+    for c in cases:
+        tree = qc.compile_query(c, None)  # must not raise
+        assert tree is None or tree is not None
+    # specific pinned behaviors
+    assert qc.compile_query("", None) is None
+    assert qc.compile_query("a &", None) is None       # trailing operator
+    assert qc.compile_query("(a & b", None) is None    # missing ')'
+    assert isinstance(qc.compile_query("& a", None), qc.Or)  # '&' leaf
