@@ -222,7 +222,12 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
                                    batch_size=PARSE_BATCH_SIZE)
         docs = docs.map_batches(_assign_ids(num_shards),
                                 batch_format="pyarrow")
-        _atomic_write(docs, os.path.join(docs_dir, "gen=0"))
+        # replace the WHOLE docs dir (a base build resets all generations)
+        tmp_root = docs_dir + ".tmp"
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        docs.write_parquet(os.path.join(tmp_root, "gen=0"))
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        os.replace(tmp_root, docs_dir)
         _mark_stage(index_dir, "docs", cfg_hash,
                     num_shards=num_shards, generations=1,
                     parse_wall_s=round(time.time() - t0, 3))
