@@ -362,8 +362,11 @@ def rank_chunk(index, plan, max_results: int = MAX_RESULTS) -> list:
                 continue
         final = dynamic * 0.75 + static_score * 0.25
 
-        title = attr["title"] if attr["title"] else attr["url"]
-        insert_result(results, (attr["url"], title, final), max_results)
+        # C++ falls back to url only on a NULL title pointer — which never
+        # happens (SetDocumentAttributes always strdups); an EMPTY title
+        # stays empty (Ranker.cpp:521)
+        insert_result(results, (attr["url"], attr["title"], final),
+                      max_results)
         processed += 1
         if processed >= MAX_DOCS:
             break

@@ -117,17 +117,21 @@ def _save_golden(ref_results):
         json.dump({str(k): v for k, v in ref_results.items()}, f)
 
 
-@pytest.fixture(scope="module")
-def conformance(tmp_path_factory):
+@pytest.fixture(scope="module", params=[CHUNK_SIZE, 10],
+                ids=["chunk100", "chunk10"])
+def conformance(request, tmp_path_factory):
+    chunk_size = request.param
     exe = _build_harness()
     corpus = canonical_corpus()
     synsets = qc.get_default_synsets()
     plans = [qc.compile_query(q, synsets) for q in REF_QUERIES]
     if exe is None:
+        if chunk_size != CHUNK_SIZE:
+            pytest.skip("no compiler for the extra chunk size")
         golden = _load_golden()
         if golden is None:
             pytest.skip("no compiler / reference / golden available")
-        return corpus, plans, golden
+        return corpus, plans, golden, chunk_size
 
     # binary input file for the harness
     buf = bytearray()
@@ -136,7 +140,7 @@ def conformance(tmp_path_factory):
         u = url.encode()
         buf += struct.pack("<I", len(u)) + u
         buf += struct.pack("<I", len(html)) + html
-    buf += struct.pack("<I", CHUNK_SIZE)
+    buf += struct.pack("<I", chunk_size)
     sendable = [(i, p) for i, p in enumerate(plans) if p is not None]
     buf += struct.pack("<I", len(sendable))
     for _, plan in sendable:
@@ -161,15 +165,15 @@ def conformance(tmp_path_factory):
                 (int(bits_hex, 16), url.decode(), title.decode()))
         elif line.startswith(b"ERROR"):
             ref_results[cur] = ("ERROR", line.decode("latin-1"))
-    if not os.path.exists(GOLDEN_RANK):
+    if chunk_size == CHUNK_SIZE and not os.path.exists(GOLDEN_RANK):
         _save_golden(ref_results)
-    return corpus, plans, ref_results
+    return corpus, plans, ref_results, chunk_size
 
 
 def test_rank_identity(conformance):
-    corpus, plans, ref_results = conformance
+    corpus, plans, ref_results, chunk_size = conformance
     docs = [parse_doc(u, h) for u, h in corpus]
-    chunks = build_chunks(docs, chunk_size=CHUNK_SIZE)
+    chunks = build_chunks(docs, chunk_size=chunk_size)
 
     checked = 0
     mismatches = []
@@ -190,7 +194,7 @@ def test_rank_identity(conformance):
 
 
 def test_reference_set_has_nonempty_results(conformance):
-    corpus, plans, ref_results = conformance
+    corpus, plans, ref_results, chunk_size = conformance
     nonempty = sum(1 for v in ref_results.values()
                    if v and v[0] != "ERROR")
     assert nonempty >= 10  # the fixture vocabulary must actually hit
