@@ -173,13 +173,14 @@ def append_to_index(pages_factory, index_dir: str, *,
     shutil.rmtree(terms_path, ignore_errors=True)
     os.replace(tmp, terms_path)
 
-    shard_avgdl = dict(stats.get("shard_avgdl", {}))
-    for s_id in range(old_shards, num_shards):
-        shard_avgdl[str(s_id)] = avgdl
+    # all pre-existing shards now carry stale block-max bounds (avgdl
+    # moved); WAND stays off for them until refresh_block_max
+    stale = sorted(set(stats.get("wand_stale_shards", []))
+                   | set(range(old_shards)))
 
     stats.update({
         "num_shards": num_shards, "n_docs": n_docs, "avgdl": avgdl,
-        "generations": gen + 1, "shard_avgdl": shard_avgdl,
+        "generations": gen + 1, "wand_stale_shards": stale,
         f"append_gen{gen}_wall_s": round(time.time() - t0, 3),
     })
     man["stats"] = stats
@@ -194,8 +195,7 @@ def refresh_block_max(index_dir: str) -> int:
     man = seg.read_manifest(index_dir)
     stats = man["stats"]
     avgdl = stats["avgdl"]
-    shard_avgdl = stats.get("shard_avgdl", {})
-    stale = [int(s) for s, a in shard_avgdl.items() if a != avgdl]
+    stale = sorted(stats.get("wand_stale_shards", []))
     segments_dir = os.path.join(index_dir, "segments")
 
     @ray.remote
@@ -233,9 +233,7 @@ def refresh_block_max(index_dir: str) -> int:
         return shard
 
     ray.get([refresh.remote(s) for s in stale])
-    for s in stale:
-        shard_avgdl[str(s)] = avgdl
-    stats["shard_avgdl"] = shard_avgdl
+    stats["wand_stale_shards"] = []
     man["stats"] = stats
     seg.write_manifest(index_dir, man)
     return len(stale)

@@ -4,20 +4,23 @@ segments, checkpoint-resumable with a manifest.
 Ray-Data-first rebuild of the reference ingest path (SURVEY.md §3.1):
 
     read pages (or synthesize from documents)
-      → exact url-dedup (two-phase: 8-byte-hash count shuffle + broadcast
-        filter; only flagged duplicate urls go through a groupby —
-        upgrades the reference's approximate Bloom filter, Parser.cpp:293-299)
+      → exact url-dedup (8-byte-hash count pass + broadcast filter; only
+        flagged duplicate urls go through a groupby — upgrades the
+        reference's approximate Bloom filter, Parser.cpp:293-299)
       → map_batches(parse_pages_batch)      [M1-M5, F2/F3, stateless tasks]
       → deterministic doc ids (64-bit url fingerprint) + doc shard
-      → sort by shard — THE single all-to-all exchange of the build —
-        and write docs/ parquet hive-partitioned by shard  [checkpoint 1]
-      → corpus stats aggregate over the dl column (pruned read)
-      → per-shard segment tasks: each reads docs/shard=N, builds the
-        shard's posting lists in memory (emit + sort + delta-varint encode
-        + 128-doc block-max), writes segments/shard=N atomically —
-        embarrassingly parallel, zero further shuffle, and each completed
-        shard is skipped on re-run (per-partition lineage/resume)
-      → global term stats (df/cf) via a small groupby over segment rows
+      → write docs/gen=0 parquet, unsorted             [checkpoint 1]
+      → docmeta: NARROW per-doc attribute table sorted+partitioned by
+        shard for the query actors (the wide terms column never shuffles)
+      → corpus stats aggregate over docmeta's dl column
+      → postings exchange (pipelines/exchange.py): map side emits
+        vectorized per-(term,doc) posting runs grouped by shard-group to
+        tmpfs; stateful actor-pool merge workers concat+sort+encode final
+        per-shard segments (delta-gap varint + 128-doc block-max), written
+        atomically with build-id markers — per-partition resume; Ray
+        sort/groupby appear nowhere in the postings path
+      → global term stats (df/cf): driver merge under a size threshold,
+        distributed groupby beyond
       → manifest.json                                  [completion marker]
 
 Skew: the shard key bounds every segment task by docs_per_shard documents
@@ -198,7 +201,7 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
     except Exception:
         pass
 
-    cfg = {"docs_per_shard": docs_per_shard, "version": 11}
+    cfg = {"docs_per_shard": docs_per_shard, "version": 12}
     cfg_hash = hashlib.sha256(
         json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
     os.makedirs(index_dir, exist_ok=True)
@@ -333,8 +336,7 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
         shutil.rmtree(exchange_dir, ignore_errors=True)
         _mark_stage(index_dir, "segments", cfg_hash, n_docs=n_docs,
                     avgdl=avgdl, num_groups=num_groups,
-                    shard_avgdl={str(s_): avgdl
-                                 for s_ in range(num_shards)},
+                    wand_stale_shards=[],
                     segments_wall_s=round(time.time() - t1, 3))
 
     t2 = time.time()

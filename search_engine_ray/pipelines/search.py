@@ -457,9 +457,8 @@ class SearchEngine:
         if num_searchers is None:
             num_searchers = min(num_shards, max(1, int(
                 ray.cluster_resources().get("CPU", 4)) // 2))
-        shard_avgdl = man["stats"].get("shard_avgdl", {})
-        wand_ok = {s for s in range(num_shards)
-                   if shard_avgdl.get(str(s), self.avgdl) == self.avgdl}
+        stale = set(man["stats"].get("wand_stale_shards", []))
+        wand_ok = {s for s in range(num_shards) if s not in stale}
         assign: list[list[int]] = [[] for _ in range(num_searchers)]
         for s in range(num_shards):
             assign[s % num_searchers].append(s)

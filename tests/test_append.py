@@ -124,8 +124,7 @@ def test_refresh_block_max_reenables_wand(appended, ray_session):
     from search_engine_ray.pipelines.search import SearchEngine
 
     out, man0, man, mtimes, base_pages, new_pages = appended
-    stale = [s for s, a in man["stats"]["shard_avgdl"].items()
-             if a != man["stats"]["avgdl"]]
+    stale = man["stats"]["wand_stale_shards"]
     assert stale, "append must leave old shards' bounds stale"
 
     eng = SearchEngine(out, num_searchers=2, use_synonyms=False)
@@ -135,8 +134,7 @@ def test_refresh_block_max_reenables_wand(appended, ray_session):
     n = refresh_block_max(out)
     assert n == len(stale)
     man2 = seg.read_manifest(out)
-    assert all(a == man2["stats"]["avgdl"]
-               for a in man2["stats"]["shard_avgdl"].values())
+    assert man2["stats"]["wand_stale_shards"] == []
 
     eng = SearchEngine(out, num_searchers=2, use_synonyms=False)
     after = eng.search("running | children", k=10)
