@@ -82,8 +82,10 @@ def run_bench() -> dict:
     results: dict[str, float] = {}
 
     pages_dir = ensure_bench_pages(SF_DIR, REPL, BODY)
-    # warm the page cache so we measure compute+shuffle, not first disk read
-    rd.read_parquet(pages_dir, columns=["url"]).count()
+    # warm the page cache on the FULL corpus (html included) so both
+    # parallelism levels measure compute+shuffle, not first disk read
+    rd.read_parquet(pages_dir).map_batches(
+        lambda b: b.slice(0, 1), batch_format="pyarrow").count()
 
     def pages_factory(columns):
         return rd.read_parquet(pages_dir, columns=columns)

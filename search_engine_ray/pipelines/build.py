@@ -54,7 +54,7 @@ from ..stages.parse import parse_pages_batch
 from ..state import segments as seg
 
 PARSE_BATCH_SIZE = 1024
-EMIT_BATCH_SIZE = 1024
+EMIT_BATCH_SIZE = 4096
 
 
 def _fingerprint_urls(urls) -> np.ndarray:

@@ -3,10 +3,9 @@ shuffle that replaces sorting the wide docs table.
 
 Map side (_PartialExchangeWriter, map_batches over the flat docs table):
 each batch's postings are emitted vectorized (stages/emit.py), grouped by
-shard-group (grp = (doc_id % num_shards) % num_groups), and written as ONE
-parquet file per batch with ONE ROW GROUP PER grp (sorted by grp) — so the
-reduce side's ``filters=[("grp","==",G)]`` read prunes to the matching row
-groups via parquet statistics instead of rescanning files.
+shard-group (grp = (doc_id % num_shards) % num_groups), and written one
+file per (batch, group) under exchange/grp=G/ — the reduce side reads
+exactly its own directory, touching no other group's data.
 
 Reduce side (_GroupMergeWorker, actor pool over group ids): reads a
 group's partial runs, sorts them once by (term, shard, doc) — bounded by
@@ -63,31 +62,24 @@ class _PartialExchangeWriter:
         mv = memoryview(runs["pos_stream"])
         pos_blobs = [mv[offs[j]:offs[j + 1]] for j in order]
 
-        path = os.path.join(self.exchange_dir,
-                            f"part_{uuid.uuid4().hex}.parquet")
-        tmp = path + ".tmp"
+        part_id = uuid.uuid4().hex
         uniq, starts = np.unique(grp_o, return_index=True)
         bounds = np.append(starts, n)
-        writer = None
-        try:
-            for gi in range(len(uniq)):
-                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-                tab = pa.table({
-                    "grp": pa.array(grp_o[lo:hi], pa.int32()),
-                    "shard": pa.array(shards_o[lo:hi], pa.int32()),
-                    "term": pa.array(list(terms[lo:hi]), pa.string()),
-                    "doc_id": pa.array(docs[lo:hi], pa.int64()),
-                    "tf": pa.array(tfs[lo:hi], pa.int32()),
-                    "dl": pa.array(rdls[lo:hi], pa.int32()),
-                    "pos": pa.array(pos_blobs[lo:hi], pa.binary()),
-                })
-                if writer is None:
-                    writer = pq.ParquetWriter(tmp, tab.schema)
-                writer.write_table(tab)  # one row group per grp
-        finally:
-            if writer is not None:
-                writer.close()
-        os.replace(tmp, path)
+        for gi in range(len(uniq)):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            tab = pa.table({
+                "shard": pa.array(shards_o[lo:hi], pa.int32()),
+                "term": pa.array(list(terms[lo:hi]), pa.string()),
+                "doc_id": pa.array(docs[lo:hi], pa.int64()),
+                "tf": pa.array(tfs[lo:hi], pa.int32()),
+                "dl": pa.array(rdls[lo:hi], pa.int32()),
+                "pos": pa.array(pos_blobs[lo:hi], pa.binary()),
+            })
+            d = os.path.join(self.exchange_dir, f"grp={int(uniq[gi])}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part_{part_id}.parquet")
+            pq.write_table(tab, path + ".tmp")
+            os.replace(path + ".tmp", path)
         return pa.table({"n_runs": pa.array([n], pa.int64())})
 
 
@@ -115,8 +107,10 @@ class _GroupMergeWorker:
         out_shard, out_terms = [], []
         for g in batch.column("grp").to_pylist():
             g = int(g)
-            part = pq.read_table(self.exchange_dir,
-                                 filters=[("grp", "=", g)])
+            gdir = os.path.join(self.exchange_dir, f"grp={g}")
+            if not os.path.isdir(gdir):
+                continue
+            part = pq.read_table(gdir)
             if part.num_rows == 0:
                 continue
             terms_arr = part.column("term")
