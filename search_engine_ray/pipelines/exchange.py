@@ -52,33 +52,33 @@ class _PartialExchangeWriter:
         grp = (shard % self.num_groups).astype(np.int32)
         order = np.argsort(grp, kind="stable")
 
-        terms = runs["terms"][order]
-        docs = runs["run_doc"][order]
-        tfs = runs["run_tf"][order].astype(np.int32)
-        rdls = runs["run_dl"][order].astype(np.int32)
-        shards_o = shard[order]
-        grp_o = grp[order]
-        offs = runs["run_byte_offsets"]
-        mv = memoryview(runs["pos_stream"])
-        pos_blobs = [mv[offs[j]:offs[j + 1]] for j in order]
+        # zero-copy binary column over the varint position stream
+        offs32 = runs["run_byte_offsets"].astype(np.int32)
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs32.tobytes()),
+             pa.py_buffer(runs["pos_stream"])])
+        # one table, one grp-sort take; per-group outputs are zero-copy
+        # slices (object-array slicing per group was the map-side hotspot)
+        tab = pa.table({
+            "shard": pa.array(shard, pa.int32()),
+            "term": pa.array(runs["terms"], pa.string()),
+            "doc_id": pa.array(runs["run_doc"], pa.int64()),
+            "tf": pa.array(runs["run_tf"].astype(np.int32), pa.int32()),
+            "dl": pa.array(runs["run_dl"].astype(np.int32), pa.int32()),
+            "pos": pos_arr,
+        }).take(pa.array(order.astype(np.int64)))
 
         part_id = uuid.uuid4().hex
+        grp_o = grp[order]
         uniq, starts = np.unique(grp_o, return_index=True)
         bounds = np.append(starts, n)
         for gi in range(len(uniq)):
             lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            tab = pa.table({
-                "shard": pa.array(shards_o[lo:hi], pa.int32()),
-                "term": pa.array(list(terms[lo:hi]), pa.string()),
-                "doc_id": pa.array(docs[lo:hi], pa.int64()),
-                "tf": pa.array(tfs[lo:hi], pa.int32()),
-                "dl": pa.array(rdls[lo:hi], pa.int32()),
-                "pos": pa.array(pos_blobs[lo:hi], pa.binary()),
-            })
             d = os.path.join(self.exchange_dir, f"grp={int(uniq[gi])}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"part_{part_id}.parquet")
-            pq.write_table(tab, path + ".tmp")
+            pq.write_table(tab.slice(lo, hi - lo), path + ".tmp")
             os.replace(path + ".tmp", path)
         return pa.table({"n_runs": pa.array([n], pa.int64())})
 
