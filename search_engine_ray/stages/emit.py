@@ -113,10 +113,12 @@ def emit_postings_columnar(doc_ids: np.ndarray, dls: np.ndarray,
     run_tf = np.diff(np.append(starts, len(codes)))
 
     # per-token position gaps: absolute at run starts, delta within runs
-    gaps = pos.astype(np.uint64).copy()
-    not_start = ~change
-    gaps[not_start] = (pos[not_start] - pos[np.nonzero(not_start)[0] - 1]
-                       ).astype(np.uint64)
+    deltas = np.empty(len(pos), dtype=pos.dtype)
+    if len(pos):
+        deltas[0] = pos[0]
+        np.subtract(pos[1:], pos[:-1], out=deltas[1:])
+        deltas[starts] = pos[starts]  # run starts carry absolute positions
+    gaps = deltas.astype(np.uint64)
     pos_stream, tok_offsets = _varint_stream_with_offsets(gaps)
     run_byte_offsets = np.append(tok_offsets[starts], tok_offsets[-1])
 
