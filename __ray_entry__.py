@@ -141,5 +141,15 @@ SELECT {_URL_EXPR} AS src,
        array_to_string(toks[1:2], ' ') AS anchor
 FROM t ORDER BY doc_id
 """
+    # link_indegree: top-50 by in-degree over the same edge CTE
+    out["link_indegree"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+e AS (SELECT 'http://doc' || CAST((doc_id * 7 + 1) % 100000 AS VARCHAR)
+        || '.com/' AS dst FROM t)
+SELECT dst, COUNT(*) AS in_degree
+FROM e GROUP BY dst
+ORDER BY in_degree DESC, dst
+LIMIT 50
+"""
     # ann_topk_lsh: approximate → rows-only check (recall is pytest-gated)
     return out

@@ -37,9 +37,13 @@ def q1_pricing_summary(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"] <= cutoff]
         if not len(b):
-            return pd.DataFrame({"l_returnflag": [], "l_linestatus": [],
-                                 "sum_qty": [], "sum_base_cents": [],
-                                 "sum_disc_cents": [], "n_rows": []})
+            return pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype=object),
+                "l_linestatus": pd.Series([], dtype=object),
+                "sum_qty": pd.Series([], dtype=np.int64),
+                "sum_base_cents": pd.Series([], dtype=np.int64),
+                "sum_disc_cents": pd.Series([], dtype=np.int64),
+                "n_rows": pd.Series([], dtype=np.int64)})
         ep = b["l_extendedprice"].to_numpy()
         disc = b["l_discount"].to_numpy()
         g = pd.DataFrame({
@@ -63,9 +67,9 @@ def q1_pricing_summary(sf_dir: str):
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -107,7 +111,7 @@ def orders_by_segment(sf_dir: str):
 SQL_ORDERS_BY_SEGMENT = """
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -142,7 +146,7 @@ SQL_EVENTS_WINDOW = """
 SELECT event_type,
        (epoch_us(ts) // 60000000) * 60000000 AS window_us,
        COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 1e6) AS BIGINT)) AS sum_value_micros
+       CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micros
 FROM events
 GROUP BY event_type, window_us
 ORDER BY event_type, window_us
@@ -173,7 +177,7 @@ SQL_ORDERS_BY_MONTH = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
        CAST(month(o_orderdate) AS BIGINT) AS month,
        COUNT(*) AS n_orders,
-       SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -252,7 +256,8 @@ def source_stats(sf_dir: str):
 
 
 SQL_SOURCE_STATS = """
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents GROUP BY source ORDER BY source
 """
