@@ -5,20 +5,23 @@ Four detectors, all deterministic (seeded) and shaped for scale:
 - MinHash + LSH: word-shingle → 64-perm minhash signature per doc
   (vectorized multiply-shift permutations) → banded LSH keys → groupby
   (band, band_hash) brings only colliding docs together → candidate pairs
-  → exact Jaccard verification. The LSH groupby is the only shuffle; its
-  groups are collision buckets, not the corpus.
-- SimHash: 64-bit token-hash sign aggregate → 4×16-bit band buckets →
-  Hamming-distance verification.
+  → exact Jaccard verification AS A SECOND SHUFFLE: candidate pairs are
+  hash-joined (Dataset.join) against the per-doc shingle sets on doc_a
+  then doc_b, so each verify task sees only its partition's pairs — no
+  driver-side corpus materialization anywhere.
+- SimHash: 64-bit token-hash sign aggregate → 4×16-bit band buckets via
+  groupby(band, key); the 8-byte signature travels WITH the band row, so
+  Hamming verification happens inside the group — no second pass at all.
 - n-gram Jaccard: the exact verifier exposed as its own operator (pairs in
-  → jaccard out), used standalone on candidate pairs from any source.
-- Embedding cosine near-dup: random-hyperplane buckets over the
-  embeddings table → within-bucket pairwise cosine ≥ threshold.
+  → jaccard out), running the same distributed join-verify.
+- Embedding cosine near-dup: random-hyperplane bucket keys computed in a
+  stateful actor stage → groupby(bucket) → within-bucket pairwise cosine
+  ≥ threshold, all inside map_groups.
 
-Outputs use integer basis points (jaccard_bp / cos_bp) so results hash
-deterministically. Jaccard/Hamming verification here broadcasts the
-signature map (fits for ≤ ~10M docs); the documented scale path
-repartitions candidate pairs by doc so each verify task reads only its
-shard's shingle sets.
+Only the FINAL pair lists (output-sized, LSH-filtered) are collected to
+the driver; every corpus-sized structure stays distributed. Outputs use
+integer basis points (jaccard_bp / cos_bp) so results hash
+deterministically.
 """
 
 from __future__ import annotations
@@ -26,9 +29,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-
-import ray
-from ray.data.aggregate import Count
 
 from ..kernels.textutils import fnv1a_64
 from ..pipelines.datasets import read_table
@@ -74,7 +74,9 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray,
 
 class MinHasher:
     """Stateful per-actor minhash stage: permutation params initialized
-    once (T-pattern: setup in __init__, work per batch)."""
+    once (T-pattern: setup in __init__, work per batch). Emits the sorted
+    unique shingle set alongside the signature so exact-Jaccard
+    verification downstream needs no second corpus scan."""
 
     def __init__(self, n_perm: int = 64, shingle_k: int = 3, seed: int = 42):
         self.a, self.b = _perm_params(n_perm, seed)
@@ -83,12 +85,34 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        sigs = [minhash_signature(_shingle_hashes(t, self.k),
-                                  self.a, self.b).tobytes()
-                for t in texts]
+        sigs, shingle_sets = [], []
+        for t in texts:
+            sh = _shingle_hashes(t, self.k)
+            sigs.append(minhash_signature(sh, self.a, self.b).tobytes())
+            # binary (not list<uint64>): Acero hash joins reject list
+            # payload columns, and raw bytes round-trip via np.frombuffer
+            shingle_sets.append(np.unique(sh).tobytes())
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "sig": pa.array(sigs, pa.binary()),
+            "shingles": pa.array(shingle_sets, pa.binary()),
+        })
+
+
+class Shingler:
+    """Shingle-set-only stage for standalone pair verification."""
+
+    def __init__(self, shingle_k: int = 3):
+        self.k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sets_ = [np.unique(_shingle_hashes(t, self.k)).tobytes()
+                 for t in texts]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "shingles": pa.array(sets_, pa.binary()),
         })
 
 
@@ -110,51 +134,119 @@ def _band_rows(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
     })
 
 
+_EMPTY_PAIRS = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+
+
 def _candidate_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+    if len(grp) < 2:
+        return _EMPTY_PAIRS
     ids = sorted(grp["doc_id"].tolist())
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             a.append(ids[i])
             b.append(ids[j])
-    return pd.DataFrame({"doc_a": a, "doc_b": b})
+    return pd.DataFrame({"doc_a": pd.Series(a, dtype=np.int64),
+                         "doc_b": pd.Series(b, dtype=np.int64)})
+
+
+def _first_row(grp: pd.DataFrame) -> pd.DataFrame:
+    return grp.head(1)
+
+
+def _collect_sorted(ds, cols: list[str]) -> pd.DataFrame:
+    """to_pandas + column-order sort, tolerating the empty-dataset case
+    where Ray returns a frame with no columns at all."""
+    df = ds.to_pandas()
+    if df.empty and not set(cols) <= set(df.columns):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    return df[cols].sort_values(cols[:2]).reset_index(drop=True)
+
+
+def _jaccard_verify_batch(batch: pa.Table, threshold_bp: int) -> pa.Table:
+    """Exact Jaccard per pair from the two attached shingle-set columns
+    (sorted-unique uint64 arrays as raw bytes). Runs inside the join's
+    output tasks."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard_bp": pa.array([], pa.int64())})
+    da = batch.column("doc_a").to_numpy()
+    db = batch.column("doc_b").to_numpy()
+    bufs_a = batch.column("shingles_a").to_pylist()
+    bufs_b = batch.column("shingles_b").to_pylist()
+    bp = np.empty(len(da), dtype=np.int64)
+    for i in range(len(da)):
+        sa = np.frombuffer(bufs_a[i], dtype=np.uint64)
+        sb = np.frombuffer(bufs_b[i], dtype=np.uint64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        bp[i] = inter * 10000 // max(union, 1)
+    keep = bp >= threshold_bp
+    return pa.table({"doc_a": pa.array(da[keep], pa.int64()),
+                     "doc_b": pa.array(db[keep], pa.int64()),
+                     "jaccard_bp": pa.array(bp[keep], pa.int64())})
+
+
+def _verify_pairs(pairs_ds, shingles_ds, threshold_bp: int,
+                  num_partitions: int) -> pa.Table:
+    """Distributed exact-Jaccard verification: hash-join candidate pairs
+    against per-doc shingle sets on doc_a then doc_b (two pair-sized
+    shuffles), verify vectorized per batch, collect only the final
+    (output-sized) pair list."""
+    # fractional-CPU aggregators so the two joins' shuffle actor pools
+    # (2 × num_partitions actors, alive concurrently) co-schedule with
+    # the map tasks even on small CPU counts
+    agg_args = {"num_cpus": 0.1}
+    j1 = pairs_ds.join(shingles_ds, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("doc_a",), right_on=("doc_id",),
+                       aggregator_ray_remote_args=agg_args)
+    # the right-side key column is dropped by the join itself
+    j1 = j1.rename_columns({"shingles": "shingles_a"})
+    j2 = j1.join(shingles_ds, join_type="inner",
+                 num_partitions=num_partitions,
+                 on=("doc_b",), right_on=("doc_id",),
+                 aggregator_ray_remote_args=agg_args)
+    j2 = j2.rename_columns({"shingles": "shingles_b"})
+    verified = j2.map_batches(
+        lambda b: _jaccard_verify_batch(b, threshold_bp),
+        batch_format="pyarrow")
+    out = _collect_sorted(verified, ["doc_a", "doc_b", "jaccard_bp"])
+    return pa.table({"doc_a": pa.array(out["doc_a"], pa.int64()),
+                     "doc_b": pa.array(out["doc_b"], pa.int64()),
+                     "jaccard_bp": pa.array(out["jaccard_bp"], pa.int64())})
 
 
 def minhash_dedup(sf_dir: str, threshold_bp: int = 7000,
-                  n_perm: int = 64, n_bands: int = 16):
+                  n_perm: int = 64, n_bands: int = 16,
+                  num_partitions: int = 8):
     """MinHash-LSH near-dup pairs with exact Jaccard verification.
-    Returns (doc_a, doc_b, jaccard_bp) for pairs ≥ threshold_bp/10000."""
+    Returns (doc_a, doc_b, jaccard_bp) for pairs ≥ threshold_bp/10000.
+
+    Fully distributed: signatures + shingle sets in one corpus pass,
+    LSH-bucket groupby for candidates, distinct-pair groupby, then the
+    join-verify shuffle. Nothing corpus-sized touches the driver."""
     rows_per_band = n_perm // n_bands
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # materialize at the DAG branch point: both the LSH-band branch and
+    # the verify-join branch consume sigs; without this Ray re-executes
+    # the (expensive) shingle+minhash pass once per branch. Bounded by
+    # ~corpus size in the object store, which spills to disk.
     sigs = docs.map_batches(MinHasher, batch_format="pyarrow",
-                            concurrency=2, batch_size=1024)
-    bands = sigs.map_batches(
+                            concurrency=2, batch_size=1024).materialize()
+    bands = sigs.select_columns(["doc_id", "sig"]).map_batches(
         lambda b: _band_rows(b, n_bands, rows_per_band),
         batch_format="pyarrow")
     cands = (bands.groupby(["band", "band_hash"])
-             .map_groups(lambda g: _candidate_pairs(g) if len(g) > 1
-                         else pd.DataFrame({"doc_a": [], "doc_b": []}),
-                         batch_format="pandas"))
-    pairs = {(int(r["doc_a"]), int(r["doc_b"]))
-             for r in cands.take_all()}
-    # exact verification against the real shingle sets
-    t = read_table(sf_dir, "documents",
-                   columns=["doc_id", "text"]).to_pandas()
-    shingle_map = {int(d): np.unique(_shingle_hashes(x))
-                   for d, x in zip(t["doc_id"], t["text"])}
-    out_a, out_b, out_j = [], [], []
-    for da, db in sorted(pairs):
-        sa, sb = shingle_map[da], shingle_map[db]
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        bp = int(inter * 10000 // max(union, 1))
-        if bp >= threshold_bp:
-            out_a.append(da)
-            out_b.append(db)
-            out_j.append(bp)
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                     "doc_b": pa.array(out_b, pa.int64()),
-                     "jaccard_bp": pa.array(out_j, pa.int64())})
+             .map_groups(_candidate_pairs, batch_format="pandas"))
+    # a pair colliding in several bands appears once per band → distinct
+    pairs = (cands.groupby(["doc_a", "doc_b"])
+             .map_groups(_first_row, batch_format="pandas"))
+    shingles = sigs.select_columns(["doc_id", "shingles"])
+    return _verify_pairs(pairs, shingles, threshold_bp, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -181,92 +273,165 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def _simhash_band_rows(batch: pa.Table) -> pa.Table:
+    """Explode each signature into 4×16-bit band keys; the signature
+    rides along so verification happens inside the bucket group."""
+    ids = batch.column("doc_id").to_numpy()
+    sim = batch.column("simhash").to_numpy().view(np.uint64)
+    n = len(ids)
+    bands = np.repeat(np.arange(4, dtype=np.int32), n)
+    keys = np.concatenate([
+        ((sim >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+        for band in range(4)])
+    return pa.table({
+        "band": pa.array(bands, pa.int32()),
+        "key": pa.array(keys, pa.int64()),
+        "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+        "simhash": pa.array(np.tile(sim.view(np.int64), 4), pa.int64()),
+    })
+
+
+_EMPTY_HAMMING = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                               "doc_b": pd.Series([], dtype=np.int64),
+                               "hamming": pd.Series([], dtype=np.int64)})
+
+
+def _simhash_group_pairs(grp: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """Hamming-verified pairs within one (band, key) bucket."""
+    if len(grp) < 2:
+        return _EMPTY_HAMMING
+    g = grp.sort_values("doc_id")
+    ids = g["doc_id"].to_numpy()
+    sim = g["simhash"].to_numpy().view(np.uint64)
+    m = len(ids)
+    iu, ju = np.triu_indices(m, 1)
+    xor = sim[iu] ^ sim[ju]
+    ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8),
+                        axis=1).sum(axis=1).astype(np.int64)
+    keep = (ham <= max_hamming) & (ids[iu] != ids[ju])
+    return pd.DataFrame({
+        "doc_a": pd.Series(np.minimum(ids[iu][keep], ids[ju][keep]),
+                           dtype=np.int64),
+        "doc_b": pd.Series(np.maximum(ids[iu][keep], ids[ju][keep]),
+                           dtype=np.int64),
+        "hamming": pd.Series(ham[keep], dtype=np.int64),
+    })
+
+
 def simhash_dedup(sf_dir: str, max_hamming: int = 3):
-    """SimHash near-dup pairs: 4×16-bit band buckets, Hamming-verified."""
+    """SimHash near-dup pairs: 4×16-bit band buckets via groupby, Hamming
+    verified inside each bucket group (the signature travels with the band
+    row), then a distinct-pair groupby. No driver-side bucketing."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     sigs = docs.map_batches(simhash_batch, batch_format="pyarrow")
-    t = sigs.to_pandas()
-    sim = t["simhash"].to_numpy().view(np.uint64)
-    ids = t["doc_id"].to_numpy()
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for band in range(4):
-        keys = (sim >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        for i, key in enumerate(keys):
-            buckets.setdefault((band, int(key)), []).append(i)
-    pairs = set()
-    for members in buckets.values():
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                i, j = members[x], members[y]
-                if int(ids[i]) != int(ids[j]):
-                    pairs.add((min(int(ids[i]), int(ids[j])),
-                               max(int(ids[i]), int(ids[j])),
-                               int(bin(int(sim[i]) ^ int(sim[j])).count("1"))))
-    out = sorted(p for p in pairs if p[2] <= max_hamming)
+    bands = sigs.map_batches(_simhash_band_rows, batch_format="pyarrow")
+    pairs = (bands.groupby(["band", "key"])
+             .map_groups(lambda g: _simhash_group_pairs(g, max_hamming),
+                         batch_format="pandas"))
+    distinct = (pairs.groupby(["doc_a", "doc_b"])
+                .map_groups(_first_row, batch_format="pandas"))
+    out = _collect_sorted(distinct, ["doc_a", "doc_b", "hamming"])
     return pa.table({
-        "doc_a": pa.array([p[0] for p in out], pa.int64()),
-        "doc_b": pa.array([p[1] for p in out], pa.int64()),
-        "hamming": pa.array([p[2] for p in out], pa.int64()),
+        "doc_a": pa.array(out["doc_a"], pa.int64()),
+        "doc_b": pa.array(out["doc_b"], pa.int64()),
+        "hamming": pa.array(out["hamming"], pa.int64()),
     })
 
 
 # ---------------------------------------------------------------------------
-def ngram_jaccard(sf_dir: str, pairs=None, k: int = 3):
-    """Exact n-gram Jaccard for given (or all-LSH-candidate) doc pairs."""
+def ngram_jaccard(sf_dir: str, pairs=None, k: int = 3,
+                  num_partitions: int = 8):
+    """Exact n-gram Jaccard for given (or all-LSH-candidate) doc pairs,
+    via the same distributed join-verify path."""
+    import ray.data
+
     if pairs is None:
         mh = minhash_dedup(sf_dir, threshold_bp=0)
         return mh  # all verified candidates with their jaccard_bp
-    t = read_table(sf_dir, "documents",
-                   columns=["doc_id", "text"]).to_pandas()
-    smap = {int(d): np.unique(_shingle_hashes(x, k))
-            for d, x in zip(t["doc_id"], t["text"])}
-    out_a, out_b, out_j = [], [], []
-    for da, db in pairs:
-        sa, sb = smap[da], smap[db]
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        out_a.append(da)
-        out_b.append(db)
-        out_j.append(int(inter * 10000 // max(union, 1)))
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                     "doc_b": pa.array(out_b, pa.int64()),
-                     "jaccard_bp": pa.array(out_j, pa.int64())})
+    pairs_tbl = pa.table({
+        "doc_a": pa.array([int(a) for a, _ in pairs], pa.int64()),
+        "doc_b": pa.array([int(b) for _, b in pairs], pa.int64()),
+    })
+    pairs_ds = ray.data.from_arrow(pairs_tbl)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    shingles = docs.map_batches(
+        Shingler(k), batch_format="pyarrow", batch_size=1024)
+    return _verify_pairs(pairs_ds, shingles, 0, num_partitions)
 
 
 # ---------------------------------------------------------------------------
+class HyperplaneBucketer:
+    """Stateful actor stage: seeded random hyperplanes initialized once
+    (lazily, from the first batch's embedding dim), then per-batch unit
+    normalization + sign-bit bucket keys."""
+
+    def __init__(self, n_planes: int = 12, seed: int = 42):
+        self.n_planes = n_planes
+        self.seed = seed
+        self.planes = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        emb_col = batch.column("embedding").combine_chunks()
+        dim = len(emb_col.values) // max(len(emb_col), 1)
+        emb = emb_col.values.to_numpy(
+            zero_copy_only=False).astype(np.float64).reshape(len(ids), dim)
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal((self.n_planes, dim))
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        unit = emb / norms[:, None]
+        keys = ((unit @ self.planes.T) > 0).astype(np.uint64)
+        bucket = (keys << np.arange(self.n_planes,
+                                    dtype=np.uint64)).sum(axis=1)
+        return pa.table({
+            "bucket": pa.array(bucket.view(np.int64), pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+            "unit": pa.array(list(unit), pa.list_(pa.float64())),
+        })
+
+
+_EMPTY_COS = pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                           "vec_b": pd.Series([], dtype=np.int64),
+                           "cos_bp": pd.Series([], dtype=np.int64)})
+
+
+def _cos_pairs_group(grp: pd.DataFrame, threshold_bp: int) -> pd.DataFrame:
+    """All pairs with cosine ≥ threshold inside one hyperplane bucket."""
+    if len(grp) < 2:
+        return _EMPTY_COS
+    g = grp.sort_values("vec_id")
+    ids = g["vec_id"].to_numpy()
+    unit = np.stack(g["unit"].to_numpy())
+    cos = unit @ unit.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    bp = np.floor(cos[iu, ju] * 10000).astype(np.int64)
+    keep = bp >= threshold_bp
+    return pd.DataFrame({
+        "vec_a": pd.Series(ids[iu][keep], dtype=np.int64),
+        "vec_b": pd.Series(ids[ju][keep], dtype=np.int64),
+        "cos_bp": pd.Series(bp[keep], dtype=np.int64),
+    })
+
+
 def embedding_neardup(sf_dir: str, threshold_bp: int = 9500,
                       n_planes: int = 12, seed: int = 42):
-    """Embedding-cosine near-dup pairs via random-hyperplane buckets."""
-    import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(emb, axis=1)
-    norms[norms == 0] = 1.0
-    unit = emb / norms[:, None]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, emb.shape[1]))
-    keys = ((unit @ planes.T) > 0).astype(np.uint64)
-    bucket_key = (keys << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
-    pairs = set()
-    buckets: dict[int, list[int]] = {}
-    for i, k in enumerate(bucket_key):
-        buckets.setdefault(int(k), []).append(i)
-    for members in buckets.values():
-        if len(members) < 2:
-            continue
-        sub = unit[members]
-        cos = sub @ sub.T
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                bp = int(np.floor(cos[x, y] * 10000))
-                if bp >= threshold_bp:
-                    a, b = ids[members[x]], ids[members[y]]
-                    pairs.add((min(int(a), int(b)), max(int(a), int(b)), bp))
-    out = sorted(pairs)
+    """Embedding-cosine near-dup pairs via random-hyperplane buckets.
+
+    Ray pipeline end-to-end: read → stateful bucketer actor stage →
+    groupby(bucket) → within-bucket pairwise cosine in map_groups. Each
+    vector lands in exactly one bucket, so pairs are already distinct."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    keyed = ds.map_batches(
+        HyperplaneBucketer(n_planes=n_planes, seed=seed),
+        batch_format="pyarrow", batch_size=2048, concurrency=2)
+    pairs = (keyed.groupby("bucket")
+             .map_groups(lambda g: _cos_pairs_group(g, threshold_bp),
+                         batch_format="pandas"))
+    out = _collect_sorted(pairs, ["vec_a", "vec_b", "cos_bp"])
     return pa.table({
-        "vec_a": pa.array([p[0] for p in out], pa.int64()),
-        "vec_b": pa.array([p[1] for p in out], pa.int64()),
-        "cos_bp": pa.array([p[2] for p in out], pa.int64()),
+        "vec_a": pa.array(out["vec_a"], pa.int64()),
+        "vec_b": pa.array(out["vec_b"], pa.int64()),
+        "cos_bp": pa.array(out["cos_bp"], pa.int64()),
     })

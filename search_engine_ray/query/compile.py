@@ -31,6 +31,7 @@ C++ conformance harness can decode our plans with Expr_AST unmodified.
 
 from __future__ import annotations
 
+import os.path
 import struct
 from dataclasses import dataclass, field
 
@@ -345,8 +346,9 @@ def _ser(node, out: bytearray) -> None:
 
 def load_synsets(path: str) -> dict[str, list[list[str]]]:
     """stem → [synset, ...] in file order. The synsets file is WordNet-
-    derived (query/dump_synsets.py); we read the reference's copy at
-    runtime rather than vendoring it."""
+    derived public data (reference recipe: query/dump_synsets.py); a copy
+    is vendored in search_engine_ray/data/ so the engine has no runtime
+    dependency on the reference tree."""
     out: dict[str, list[list[str]]] = {}
     with open(path) as f:
         for line in f:
@@ -361,7 +363,9 @@ def load_synsets(path: str) -> dict[str, list[list[str]]]:
     return out
 
 
-DEFAULT_SYNSETS_PATH = "/root/reference/query/synsets.txt"
+DEFAULT_SYNSETS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "synsets.txt")
 _synsets_cache: dict[str, dict] = {}
 
 
