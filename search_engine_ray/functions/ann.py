@@ -82,46 +82,126 @@ ORDER BY rank LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-def ann_topk_lsh(sf_dir: str, k: int = K_DEFAULT, query_vec_id: int = 0,
-                 n_planes: int = 8, n_tables: int = 4, seed: int = 42):
-    """LSH-bucketed ANN: random-hyperplane signatures per table; scan only
-    rows sharing a bucket with the query in any table. At cluster scale the
-    bucket column is the partition key (groupby bucket → per-bucket scan)."""
-    q = _query_vector(sf_dir, query_vec_id)
-    rng = np.random.default_rng(seed)
-    dim = len(q)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
-    q_sigs = [(planes[t] @ q > 0).astype(np.uint8) for t in range(n_tables)]
-    q_keys = {t * 256 + int(np.packbits(q_sigs[t][:8])[0])
-              for t in range(n_tables)}
-    planes_ref = ray.put(planes)
-    q_ref = ray.put(q)
+# Persisted LSH index: the bucket key is a PARTITION column, so a query
+# reads only its buckets' directories (path-level partition pruning) —
+# sub-linear scan instead of an O(corpus) pass per query.
+# ---------------------------------------------------------------------------
 
-    def candidates(b: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = np.asarray(b.column("embedding").to_pylist(), dtype=np.float64)
-        keep = np.zeros(len(ids), dtype=bool)
-        for t in range(n_tables):
-            sig = (emb @ pl[t].T > 0).astype(np.uint8)
-            keys = t * 256 + np.packbits(sig[:, :8], axis=1)[:, 0].astype(int)
-            keep |= np.isin(keys, list(q_keys))
-        if not keep.any():
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        emb_k = emb[keep]
-        ids_k = ids[keep]
-        qv = ray.get(q_ref)
-        norms = np.linalg.norm(emb_k, axis=1) * np.linalg.norm(qv)
-        sims = emb_k @ qv / np.where(norms == 0.0, 1.0, norms)
-        order = np.lexsort((ids_k, -sims))[:k]
-        return pa.table({"vec_id": pa.array(ids_k[order], pa.int64()),
-                         "sim": pa.array(sims[order], pa.float64())})
+def _lsh_keys(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n_rows, n_tables) int keys: table_id*256 + first-8-bit signature."""
+    n_tables = planes.shape[0]
+    keys = np.empty((emb.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        sig = (emb @ planes[t].T > 0).astype(np.uint8)
+        keys[:, t] = t * 256 + np.packbits(sig[:, :8], axis=1)[:, 0]
+    return keys
+
+
+def _lsh_planes(n_tables: int, n_planes: int, dim: int,
+                seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal(
+        (n_tables, n_planes, dim))
+
+
+def build_ann_lsh_index(sf_dir: str, n_planes: int = 8, n_tables: int = 4,
+                        seed: int = 42,
+                        root: str = "/tmp/search_engine_ray") -> str:
+    """One-time build: every vector is written under each of its
+    n_tables bucket directories (hive partition key=<table*256+sig8>).
+    Cached keyed by a corpus fingerprint (size+mtime) + config so an
+    in-place corpus change invalidates the index."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    cfg = {"n_planes": n_planes, "n_tables": n_tables, "seed": seed,
+           "src_size": st.st_size, "src_mtime_ns": st.st_mtime_ns,
+           "version": 2}
+    h = hashlib.sha256(
+        json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:12]
+    out = os.path.join(root, f"ann_{os.path.basename(sf_dir)}_{h}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    partials = ds.map_batches(candidates, batch_format="pyarrow",
-                              batch_size=4096).take_all()
-    rows = sorted(partials, key=lambda r: (-r["sim"], r["vec_id"]))[:k]
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    planes_ref = ray.put(_lsh_planes(n_tables, n_planes, dim, seed))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.asarray(b.column("embedding").to_pylist(),
+                         dtype=np.float64)
+        keys = _lsh_keys(emb, pl)  # (n, n_tables)
+        n, nt = keys.shape
+        return pa.table({
+            "key": pa.array(keys.T.reshape(-1), pa.int32()),
+            "vec_id": pa.array(np.tile(ids, nt), pa.int64()),
+            "embedding": pa.concat_arrays(
+                [b.column("embedding").combine_chunks()] * nt),
+        })
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # sort by key before the partitioned write so each bucket directory
+    # gets contiguous blocks (unsorted partitioned writes explode into
+    # blocks × partitions files)
+    (ds.map_batches(keyed, batch_format="pyarrow", batch_size=4096)
+       .sort("key")
+       .write_parquet(tmp, partition_cols=["key"]))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    with open(os.path.join(out, "_SUCCESS"), "w") as f:
+        json.dump(cfg, f)
+    return out
+
+
+def ann_topk_lsh(sf_dir: str, k: int = K_DEFAULT, query_vec_id: int = 0,
+                 n_planes: int = 8, n_tables: int = 4, seed: int = 42):
+    """LSH-bucketed ANN over the persisted bucket-partitioned index:
+    compute the query's n_tables bucket keys, read ONLY those partition
+    directories, brute-force cosine within them. Same candidate set (and
+    results) as hashing on the fly — without the corpus scan."""
+    import os
+
+    import ray.data as rd
+
+    index_dir = build_ann_lsh_index(sf_dir, n_planes=n_planes,
+                                    n_tables=n_tables, seed=seed)
+    q = _query_vector(sf_dir, query_vec_id)
+    planes = _lsh_planes(n_tables, n_planes, len(q), seed)
+    q_keys = sorted(set(_lsh_keys(q[None, :], planes)[0].tolist()))
+    paths = []
+    for key in q_keys:
+        d = os.path.join(index_dir, f"key={key}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
+    q_ref = ray.put(q)
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        ids, sims = _batch_sims(b, ray.get(q_ref))
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "sim": pa.array(sims[order], pa.float64())})
+
+    partials = (rd.read_parquet(paths)
+                .map_batches(partial_topk, batch_format="pyarrow",
+                             batch_size=4096).take_all())
+    # a vector can appear under several tables' buckets → dedup by id
+    best: dict[int, float] = {}
+    for r in partials:
+        vid = int(r["vec_id"])
+        if vid not in best:
+            best[vid] = r["sim"]
+    rows = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return pa.table({"rank": pa.array(range(1, len(rows) + 1), pa.int64()),
-                     "vec_id": pa.array([r["vec_id"] for r in rows],
+                     "vec_id": pa.array([vid for vid, _ in rows],
                                         pa.int64())})

@@ -1,12 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The image/audio codec libraries are not available in this container, so the
-DECODE step is stubbed (deterministic fake decoder, or NotImplementedError
-when strict=True) — but the Ray-side plumbing is real and tested: schemas,
-actor signature (decode state in __init__), small batch sizes for large
-binary payloads, and the output layout a downstream training pipeline
-would consume.
+The image/audio codec libraries are not available in this container, so
+the DECODE step is stubbed (deterministic fake decoder;
+``decoder="real"`` uses PIL when importable, ``strict=True`` raises
+NotImplementedError at the decode site) — but the Ray-side plumbing is
+real and tested: schemas, actor signature (decode state in __init__),
+small batch sizes for large binary payloads, and the output layout a
+downstream training pipeline would consume.
+
+Batch discipline: each __call__ filters the batch ONCE with a vectorized
+Arrow predicate and pulls every column ONCE (to numpy / pylist); the only
+per-row work left is the decode kernel itself, which is per-item for any
+real codec too.
 
 Scale notes: binary payload rows are wide — these stages run with small
 ``batch_size`` so batch × concurrency fits worker heaps, and the object
@@ -17,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -55,46 +62,65 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
 class ImageDecodeResize:
     """Actor-pool stage: decode → resize → CHW float features.
 
-    Real pipelines put PIL/turbojpeg in __init__; here the decoder is a
-    deterministic fake (payload bytes → pseudo-pixels) unless strict=True,
-    which raises NotImplementedError at the decode call site.
+    decoder="fake"   deterministic pseudo-pixels from the payload bytes
+    decoder="real"   PIL (import checked once in __init__; raises
+                     NotImplementedError here if unavailable)
+    strict=True      NotImplementedError at the decode call site — the
+                     explicit marker that codecs are stubbed
     """
 
     def __init__(self, out_w: int = 32, out_h: int = 32,
-                 strict: bool = False):
+                 strict: bool = False, decoder: str = "fake"):
         self.out_w = out_w
         self.out_h = out_h
         self.strict = strict
-        # real impl: self.decoder = PIL.Image / turbojpeg handle
+        self._pil = None
+        if decoder == "real":
+            try:
+                from PIL import Image  # noqa: PLC0415
+                self._pil = Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "decoder='real' needs pillow, which is not in this "
+                    "container") from e
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if self.strict:
             raise NotImplementedError(
                 "image codecs unavailable in this container; "
                 "install pillow/turbojpeg and decode here")
+        if self._pil is not None:
+            import io
+            img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img)
         raw = np.frombuffer(payload, dtype=np.uint8)
         reps = -(-(w * h * 3) // len(raw))
         return np.tile(raw, reps)[:w * h * 3].reshape(h, w, 3)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, feats = [], []
-        for row in range(batch.num_rows):
-            if batch.column("kind")[row].as_py() != "image":
-                continue
-            w = batch.column("width")[row].as_py()
-            h = batch.column("height")[row].as_py()
-            img = self._decode(batch.column("payload")[row].as_py(), w, h)
-            # nearest-neighbor resize (deterministic)
-            ys = (np.arange(self.out_h) * h // self.out_h)
-            xs = (np.arange(self.out_w) * w // self.out_w)
+        imgs = batch.filter(pc.equal(batch.column("kind"), "image"))
+        ids = imgs.column("media_id").to_numpy(zero_copy_only=False)
+        widths = imgs.column("width").to_numpy(zero_copy_only=False)
+        heights = imgs.column("height").to_numpy(zero_copy_only=False)
+        payloads = imgs.column("payload").to_pylist()
+        n = len(ids)
+        dim = self.out_w * self.out_h * 3
+        feats = np.empty((n, dim), dtype=np.float32)
+        for i in range(n):
+            w, h = int(widths[i]), int(heights[i])
+            img = self._decode(payloads[i], w, h)
+            h_eff, w_eff = img.shape[0], img.shape[1]
+            ys = np.arange(self.out_h) * h_eff // self.out_h
+            xs = np.arange(self.out_w) * w_eff // self.out_w
             small = img[ys][:, xs].astype(np.float32) / 255.0
-            ids.append(batch.column("media_id")[row].as_py())
-            feats.append(small.transpose(2, 0, 1).ravel())
+            feats[i] = small.transpose(2, 0, 1).ravel()
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
-            "features": pa.array([f.tolist() for f in feats],
-                                 pa.list_(pa.float32())),
-            "feat_dim": pa.array([len(f) for f in feats], pa.int32()),
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1), pa.float32()), dim).cast(
+                    pa.list_(pa.float32())),
+            "feat_dim": pa.array(np.full(n, dim, dtype=np.int32),
+                                 pa.int32()),
         })
 
 
@@ -107,26 +133,37 @@ class AudioFrameSample:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        audio = batch.filter(pc.equal(batch.column("kind"), "audio"))
+        if self.strict and audio.num_rows:
+            raise NotImplementedError("audio codecs unavailable")
+        ids = audio.column("media_id").to_numpy(zero_copy_only=False)
+        durs = audio.column("duration_ms").to_numpy(zero_copy_only=False)
+        payloads = audio.column("payload").to_pylist()
         o_id, o_frame, o_energy = [], [], []
-        for row in range(batch.num_rows):
-            if batch.column("kind")[row].as_py() != "audio":
-                continue
-            if self.strict:
-                raise NotImplementedError("audio codecs unavailable")
-            payload = np.frombuffer(
-                batch.column("payload")[row].as_py(), dtype=np.uint8)
-            dur = batch.column("duration_ms")[row].as_py()
-            n_frames = max(1, dur // self.frame_ms)
-            media_id = batch.column("media_id")[row].as_py()
-            splits = np.array_split(payload.astype(np.int64), n_frames)
-            for f_i, chunk in enumerate(splits):
-                o_id.append(media_id)
-                o_frame.append(f_i)
-                o_energy.append(int((chunk ** 2).sum()))
+        for i in range(len(ids)):
+            samples = np.frombuffer(payloads[i], dtype=np.uint8)
+            n_frames = max(1, int(durs[i]) // self.frame_ms)
+            sq = samples.astype(np.int64) ** 2
+            # per-frame energies via one cumulative sum, no per-frame
+            # loop; boundaries replicate np.array_split (first l%n
+            # chunks get the extra element)
+            neach, extras = divmod(len(sq), n_frames)
+            sizes = np.full(n_frames, neach, dtype=np.int64)
+            sizes[:extras] += 1
+            bounds = np.concatenate([[0], np.cumsum(sizes)])
+            csum = np.concatenate([[0], np.cumsum(sq)])
+            energies = csum[bounds[1:]] - csum[bounds[:-1]]
+            o_id.append(np.full(n_frames, ids[i], dtype=np.int64))
+            o_frame.append(np.arange(n_frames, dtype=np.int32))
+            o_energy.append(energies)
+        empty = not o_id
         return pa.table({
-            "media_id": pa.array(o_id, pa.int64()),
-            "frame": pa.array(o_frame, pa.int32()),
-            "energy": pa.array(o_energy, pa.int64()),
+            "media_id": pa.array(
+                np.concatenate(o_id) if not empty else [], pa.int64()),
+            "frame": pa.array(
+                np.concatenate(o_frame) if not empty else [], pa.int32()),
+            "energy": pa.array(
+                np.concatenate(o_energy) if not empty else [], pa.int64()),
         })
 
 

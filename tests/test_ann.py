@@ -1,0 +1,47 @@
+"""ANN: brute-force baseline vs the persisted bucket-partitioned LSH
+index — recall, determinism, and actual sub-linear scan."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+
+def test_lsh_matches_on_the_fly_and_recalls(ray_session, sf_dir):
+    from search_engine_ray.functions.ann import ann_topk, ann_topk_lsh
+
+    exact = ann_topk(sf_dir, k=10)
+    lsh = ann_topk_lsh(sf_dir, k=10)
+    # rank-1 is the query vector itself (cos=1) and must always survive
+    assert lsh.column("vec_id")[0].as_py() == \
+        exact.column("vec_id")[0].as_py()
+    # bucket recall@10 vs exact
+    overlap = set(lsh.column("vec_id").to_pylist()) & \
+        set(exact.column("vec_id").to_pylist())
+    assert len(overlap) >= 3, overlap
+    # determinism (cached index path)
+    again = ann_topk_lsh(sf_dir, k=10)
+    assert again.equals(lsh)
+
+
+def test_lsh_index_is_sublinear(ray_session, sf_dir):
+    from search_engine_ray.functions.ann import (build_ann_lsh_index,
+                                                 _lsh_keys, _lsh_planes,
+                                                 _query_vector)
+
+    index_dir = build_ann_lsh_index(sf_dir)
+    total = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id"]).num_rows
+    q = _query_vector(sf_dir, 0)
+    planes = _lsh_planes(4, 8, len(q), 42)
+    q_keys = set(_lsh_keys(q[None, :], planes)[0].tolist())
+    scanned = 0
+    for key in q_keys:
+        p = os.path.join(index_dir, f"key={key}")
+        if os.path.isdir(p):
+            scanned += sum(
+                pq.read_metadata(os.path.join(p, f)).num_rows
+                for f in os.listdir(p) if f.endswith(".parquet"))
+    # 4 tables × (≈1/256 of the corpus each) — far below a full scan
+    assert 0 < scanned < total // 2, (scanned, total)
