@@ -36,7 +36,8 @@ from ray.data.aggregate import Count, Sum
 from ..state import segments as seg
 from ..stages.parse import parse_pages_batch
 from .build import (EMIT_BATCH_SIZE, PARSE_BATCH_SIZE, _assign_ids,
-                    _atomic_write, _fingerprint_urls, _exchange_dir_for)
+                    _atomic_write, _fingerprint_urls, _exchange_dir_for,
+                    dedup_pages_by_url)
 
 
 def append_to_index(pages_factory, index_dir: str, *,
@@ -67,8 +68,11 @@ def append_to_index(pages_factory, index_dir: str, *,
                            count=t.num_rows)
         return t.filter(pa.array(mask))
 
-    pages = pages_factory(None).map_batches(drop_known,
-                                            batch_format="pyarrow")
+    # within-batch dedup first (same winner-pick rule as the base build —
+    # otherwise duplicate urls INSIDE the appended generation get distinct
+    # rows under one doc_id), then the cross-run drop of known urls
+    pages = dedup_pages_by_url(pages_factory).map_batches(
+        drop_known, batch_format="pyarrow")
     docs = pages.map_batches(parse_pages_batch, batch_format="pyarrow",
                              batch_size=PARSE_BATCH_SIZE)
     docs = docs.map_batches(_assign_ids(new_shard_count),

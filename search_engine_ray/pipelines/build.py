@@ -54,7 +54,24 @@ from ..stages.parse import parse_pages_batch
 from ..state import segments as seg
 
 PARSE_BATCH_SIZE = 1024
-EMIT_BATCH_SIZE = 4096
+# measured (BENCH/BASELINE.md r2): the emit kernel's per-doc cost grows
+# with batch size (cache locality of the run lexsort + take) — 2048 adds
+# ~2s over parse-only at 800k×5KB/32cpu, 4096 adds ~9s, 16384 is 4× worse
+EMIT_BATCH_SIZE = 2048
+
+# file schema of an (empty) per-shard docmeta dir — the shard id lives in
+# the hive directory name, exactly as write_parquet(partition_cols) did
+_EMPTY_DOCMETA = pa.table({
+    "doc_id": pa.array([], pa.int64()),
+    "dl": pa.array([], pa.int32()),
+    "url": pa.array([], pa.string()),
+    "title": pa.array([], pa.string()),
+    "word_count": pa.array([], pa.uint32()),
+    "title_length": pa.array([], pa.uint32()),
+    "url_length": pa.array([], pa.uint32()),
+    "english": pa.array([], pa.bool_()),
+    "tld": pa.array([], pa.uint8()),
+})
 
 
 def _fingerprint_urls(urls) -> np.ndarray:
@@ -71,8 +88,34 @@ def _fingerprint_urls(urls) -> np.ndarray:
 # stage helpers
 # ---------------------------------------------------------------------------
 
+def _dup_hashes_and_count(url_ds, to_hash) -> tuple[np.ndarray, int]:
+    """The url-hash pass yields BOTH the duplicate set and the page count
+    (the count used to be a separate full pass). count() here is
+    metadata-only for parquet sources; it also sizes the path choice
+    BEFORE anything is collected to the driver."""
+    n = url_ds.count()
+    hash_ds = url_ds.map_batches(to_hash, batch_format="pyarrow")
+    if n <= 50_000_000:
+        arrs = [b["url_hash"] for b in hash_ds.iter_batches(
+            batch_size=1_048_576, batch_format="numpy")]
+        all_h = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+        uniq, cnt = np.unique(all_h, return_counts=True)
+        return uniq[cnt > 1], n
+    counts = hash_ds.groupby("url_hash").aggregate(Count(alias_name="n"))
+    dup_rows = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], 1)),
+        batch_format="pyarrow").take_all()
+    return np.asarray([r["url_hash"] for r in dup_rows],
+                      dtype=np.int64), n
+
+
 def dedup_pages_by_url(pages_factory) -> "rd.Dataset":
-    """Exact, deterministic url dedup.
+    return dedup_pages_with_count(pages_factory)[0]
+
+
+def dedup_pages_with_count(pages_factory) -> tuple["rd.Dataset", int]:
+    """Exact, deterministic url dedup; also returns the pre-dedup page
+    count from the same hash pass.
 
     Phase 1 shuffles ONLY the url column (pruned read) to find duplicated
     urls — at web scale a tiny fraction. Phase 2 streams the full pages:
@@ -92,24 +135,10 @@ def dedup_pages_by_url(pages_factory) -> "rd.Dataset":
     # Below ~50M pages the hash array fits on the driver (8B/row): collect
     # and count with numpy instead of paying a full groupby execution; the
     # groupby path engages automatically beyond that.
-    hash_ds = url_ds.map_batches(to_hash, batch_format="pyarrow")
-    n_est = hash_ds.count()
-    if n_est <= 50_000_000:
-        arrs = [b["url_hash"] for b in hash_ds.iter_batches(
-            batch_size=1_048_576, batch_format="numpy")]
-        all_h = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
-        uniq, cnt = np.unique(all_h, return_counts=True)
-        dup_hashes = uniq[cnt > 1]
-    else:
-        counts = hash_ds.groupby("url_hash").aggregate(Count(alias_name="n"))
-        dup_rows = counts.map_batches(
-            lambda t: t.filter(pa.compute.greater(t["n"], 1)),
-            batch_format="pyarrow").take_all()
-        dup_hashes = np.asarray([r["url_hash"] for r in dup_rows],
-                                dtype=np.int64)
+    dup_hashes, n_pages = _dup_hashes_and_count(url_ds, to_hash)
     pages = pages_factory(None)
     if not len(dup_hashes):
-        return pages
+        return pages, n_pages
     dup_ref = ray.put(frozenset(int(x) for x in dup_hashes))
 
     def split(keep_dups: bool):
@@ -131,7 +160,7 @@ def dedup_pages_by_url(pages_factory) -> "rd.Dataset":
     flagged = (pages.map_batches(split(True), batch_format="pyarrow")
                .groupby("url").map_groups(pick_winner,
                                           batch_format="pyarrow"))
-    return uniq.union(flagged)
+    return uniq.union(flagged), n_pages
 
 
 def _assign_ids(num_shards: int):
@@ -213,18 +242,56 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
     segments_dir = os.path.join(index_dir, "segments")
     terms_path = os.path.join(index_dir, "terms")
 
+    exchange_dir = _exchange_dir_for(index_dir)
+
+    def _spawn_merge_pool(num_shards: int, num_groups: int,
+                          build_id: str) -> list:
+        """Spawn the stateful merge actor pool EARLY so its process
+        spin-up and imports overlap the map pass; avgdl is delivered at
+        merge_groups() call time."""
+        from .exchange import _GroupMergeWorker
+
+        n_workers = max(1, min(
+            num_groups, int(ray.cluster_resources().get("CPU", 8))))
+        # num_cpus=0: the pool idles (holding no CPU slots) while the map
+        # pass runs; by the time merge_groups() calls arrive the map is
+        # done and nothing competes for cores
+        actor_cls = ray.remote(num_cpus=0)(_GroupMergeWorker)
+        return [actor_cls.remote(exchange_dir, segments_dir, num_shards,
+                                 None, build_id,
+                                 os.path.join(index_dir, "docmeta"))
+                for _ in range(n_workers)]
+
+    merge_pool: list = []
+
     t0 = time.time()
     if not _stage_done(index_dir, "docs", cfg_hash):
-        # shard count from the (pre-dedup) page count: metadata-only for
-        # parquet sources, one cheap column pass for synthesized pages
-        n_pages_estimate = pages_factory(["url"]).count()
+        from .exchange import _PartialExchangeWriter
+
+        # ONE streaming pass: dedup-filter → parse → assign ids → emit
+        # postings+docmeta exchange partials (side effect, idempotent
+        # filenames) → write the docs checkpoint. No re-read of the wide
+        # terms column, no separate docmeta sort, no extra stage barrier.
+        deduped, n_pages_estimate = dedup_pages_with_count(pages_factory)
         num_shards = max(1, -(-n_pages_estimate // docs_per_shard))
-        deduped = dedup_pages_by_url(pages_factory)
-        docs = deduped.map_batches(parse_pages_batch,
-                                   batch_format="pyarrow",
-                                   batch_size=PARSE_BATCH_SIZE)
-        docs = docs.map_batches(_assign_ids(num_shards),
-                                batch_format="pyarrow")
+        num_groups = max(1, min(num_shards, 64))
+        new_build_id = f"{cfg_hash}-{time.time_ns()}"
+        shutil.rmtree(exchange_dir, ignore_errors=True)
+        os.makedirs(exchange_dir, exist_ok=True)
+        # merge actors spin up (process spawn + imports) while the fused
+        # map pass below streams
+        merge_pool = _spawn_merge_pool(num_shards, num_groups,
+                                       new_build_id)
+        writer = _PartialExchangeWriter(exchange_dir, num_shards,
+                                        num_groups, emit_meta=True,
+                                        passthrough=True)
+        docs = (deduped
+                .map_batches(parse_pages_batch, batch_format="pyarrow",
+                             batch_size=PARSE_BATCH_SIZE)
+                .map_batches(_assign_ids(num_shards),
+                             batch_format="pyarrow")
+                .map_batches(writer.__call__, batch_size=EMIT_BATCH_SIZE,
+                             batch_format="pyarrow"))
         # replace the WHOLE docs dir (a base build resets all generations)
         tmp_root = docs_dir + ".tmp"
         shutil.rmtree(tmp_root, ignore_errors=True)
@@ -233,111 +300,118 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
         os.replace(tmp_root, docs_dir)
         _mark_stage(index_dir, "docs", cfg_hash,
                     num_shards=num_shards, generations=1,
-                    parse_wall_s=round(time.time() - t0, 3))
-
-    tdm = time.time()
-    if not _stage_done(index_dir, "docmeta", cfg_hash):
-        # per-shard doc attributes for the query actors: a NARROW sort —
-        # the wide docs table (terms strings) is never shuffled at all
-        docmeta = rd.read_parquet(
-            docs_dir,
-            columns=["doc_id", "shard", "dl", "url", "title", "word_count",
-                     "title_length", "url_length", "english", "tld"])
-        docmeta = docmeta.sort("shard")
-        _atomic_write(docmeta, os.path.join(index_dir, "docmeta"),
-                      partition_cols=["shard"])
-        _mark_stage(index_dir, "docmeta", cfg_hash,
-                    docmeta_wall_s=round(time.time() - tdm, 3),
-                    docs_wall_s=round(time.time() - t0, 3),
-                    docs_build_id=f"{cfg_hash}-{time.time_ns()}")
+                    parse_wall_s=round(time.time() - t0, 3),
+                    docs_build_id=new_build_id)
+        _mark_stage(index_dir, "exchange", cfg_hash)
 
     man = seg.read_manifest(index_dir)
     num_shards = man["stats"]["num_shards"]
     num_groups = max(1, min(num_shards, 64))
-    exchange_dir = _exchange_dir_for(index_dir)
     build_id = man["stats"].get("docs_build_id", cfg_hash)
+    docmeta_dir = os.path.join(index_dir, "docmeta")
 
-    def _shard_done(s: int) -> bool:
-        marker = os.path.join(segments_dir, f"shard={s}", "_SUCCESS")
+    def _marker_ok(root: str, s: int) -> bool:
         try:
-            with open(marker) as f:
+            with open(os.path.join(root, f"shard={s}", "_SUCCESS")) as f:
                 return f.read().strip() == build_id
         except OSError:
             return False
 
+    def _shard_done(s: int) -> bool:
+        return _marker_ok(segments_dir, s) and _marker_ok(docmeta_dir, s)
+
     t1 = time.time()
     if not _stage_done(index_dir, "segments", cfg_hash):
-        from .exchange import _GroupMergeWorker, _PartialExchangeWriter
+        from .exchange import _PartialExchangeWriter
 
-        stats = rd.read_parquet(os.path.join(index_dir, "docmeta"),
-                                columns=["dl"]).aggregate(
+        # corpus stats: one narrow (int32 dl) columnar scan of the docs
+        # checkpoint — parquet column pruning makes this cheap at scale
+        stats = rd.read_parquet(docs_dir, columns=["dl"]).aggregate(
             Count(alias_name="n_docs"), Sum("dl", alias_name="total_dl"))
         n_docs = int(stats["n_docs"])
         avgdl = float(stats["total_dl"]) / max(n_docs, 1)
 
         os.makedirs(segments_dir, exist_ok=True)
+        os.makedirs(docmeta_dir, exist_ok=True)
         # drop shard dirs beyond the current shard count (stale layout)
-        for name in os.listdir(segments_dir):
-            if name.startswith("shard=") \
-                    and int(name.split("=", 1)[1]) >= num_shards:
-                shutil.rmtree(os.path.join(segments_dir, name),
-                              ignore_errors=True)
+        for root in (segments_dir, docmeta_dir):
+            for name in os.listdir(root):
+                if name.startswith("shard=") \
+                        and int(name.split("=", 1)[1]) >= num_shards:
+                    shutil.rmtree(os.path.join(root, name),
+                                  ignore_errors=True)
 
         missing = [s for s in range(num_shards) if not _shard_done(s)]
         if missing:
-            # map side: filesystem hash-exchange of vectorized posting runs
-            # (exchange stage marker is only valid while the dir exists —
-            # it is deleted after a completed segments stage)
+            # fallback map pass for resumes where the (tmpfs) exchange is
+            # gone but the docs checkpoint survived
             if not (_stage_done(index_dir, "exchange", cfg_hash)
                     and os.path.isdir(exchange_dir)):
                 shutil.rmtree(exchange_dir, ignore_errors=True)
                 os.makedirs(exchange_dir, exist_ok=True)
-                docs = rd.read_parquet(docs_dir,
-                                       columns=["doc_id", "dl", "terms"])
+                docs = rd.read_parquet(
+                    docs_dir, columns=["doc_id", "dl", "terms", "shard",
+                                       "url", "title", "word_count",
+                                       "title_length", "url_length",
+                                       "english", "tld"])
                 writer = _PartialExchangeWriter(exchange_dir, num_shards,
-                                                num_groups)
+                                                num_groups, emit_meta=True)
                 # plain function → stateless tasks (no actor-pool startup;
-                # the writer's "state" is three config values)
+                # the writer's "state" is a few config values)
                 docs.map_batches(writer.__call__, batch_size=EMIT_BATCH_SIZE,
                                  batch_format="pyarrow").materialize()
                 _mark_stage(index_dir, "exchange", cfg_hash,
                             exchange_wall_s=round(time.time() - t1, 3))
 
             # reduce side: stateful actor-pool merge workers (north-rule
-            # component) — one shard-group merged+encoded per batch
+            # component) — one shard-group merged+encoded per call; each
+            # worker also assembles its shards' docmeta from the meta
+            # partials (replacing the former docmeta Ray sort stage).
+            # The pool was spawned before the map pass when possible, so
+            # actor spin-up overlaps useful work.
             tmg = time.time()
             groups = sorted({s % num_groups for s in missing})
-            n_workers = max(1, min(
-                len(groups), int(ray.cluster_resources().get("CPU", 8))))
-            rd.from_items([{"grp": g} for g in groups]).map_batches(
-                _GroupMergeWorker,
-                fn_constructor_args=(exchange_dir, segments_dir, num_shards,
-                                     avgdl, build_id),
-                batch_size=1, batch_format="pyarrow",
-                concurrency=n_workers).materialize()
+            if not merge_pool:
+                merge_pool = _spawn_merge_pool(num_shards, num_groups,
+                                               build_id)
+            futures = [merge_pool[i % len(merge_pool)]
+                       .merge_groups.remote([g], avgdl)
+                       for i, g in enumerate(groups)]
+            ray.get(futures)
+            for a in merge_pool:
+                ray.kill(a)
+            merge_pool = []
             # shards with docs but no postings (or no docs) get an empty
-            # segment so the searcher can always open its shard
-            empty = [s for s in range(num_shards) if not _shard_done(s)]
-            for s_id in empty:
-                dst = os.path.join(segments_dir, f"shard={s_id}")
-                tmp = dst + ".tmp"
-                shutil.rmtree(tmp, ignore_errors=True)
-                os.makedirs(tmp)
-                import pyarrow.parquet as _pq
-                _pq.write_table(seg.SEGMENT_SCHEMA.empty_table()
-                                .drop_columns(["shard"]),
-                                os.path.join(tmp, "segment.parquet"))
-                with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-                    f.write(build_id)
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(tmp, dst)
+            # segment/docmeta so the searcher can always open its shard
+            import pyarrow.parquet as _pq
+            for s_id in range(num_shards):
+                for root, filename, schema in (
+                        (segments_dir, "segment.parquet",
+                         seg.SEGMENT_SCHEMA.empty_table()
+                         .drop_columns(["shard"])),
+                        (docmeta_dir, "docmeta.parquet",
+                         _EMPTY_DOCMETA)):
+                    if _marker_ok(root, s_id):
+                        continue
+                    dst = os.path.join(root, f"shard={s_id}")
+                    tmp = dst + ".tmp"
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    os.makedirs(tmp)
+                    _pq.write_table(schema, os.path.join(tmp, filename))
+                    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+                        f.write(build_id)
+                    shutil.rmtree(dst, ignore_errors=True)
+                    os.replace(tmp, dst)
             _mark_stage(index_dir, "segments", cfg_hash,
                         merge_wall_s=round(time.time() - tmg, 3))
         shutil.rmtree(exchange_dir, ignore_errors=True)
+        _mark_stage(index_dir, "docmeta", cfg_hash)
         _mark_stage(index_dir, "segments", cfg_hash, n_docs=n_docs,
                     avgdl=avgdl, num_groups=num_groups,
                     wand_stale_shards=[],
                     segments_wall_s=round(time.time() - t1, 3))
+    for a in merge_pool:  # pool spawned but segments already done
+        ray.kill(a)
 
     t2 = time.time()
     if not _stage_done(index_dir, "terms", cfg_hash):

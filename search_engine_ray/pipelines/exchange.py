@@ -21,9 +21,9 @@ re-aggregation.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
-import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -34,20 +34,69 @@ from ..stages.emit import emit_postings_columnar
 from ..state import segments as seg
 
 
+DOCMETA_COLUMNS = ["doc_id", "shard", "dl", "url", "title", "word_count",
+                   "title_length", "url_length", "english", "tld"]
+
+
+def _atomic_parquet(tab: pa.Table, path: str) -> None:
+    """Write-then-rename with a UNIQUE tmp name: concurrent duplicate
+    executions of the same task race only on the atomic os.replace (last
+    wins, identical content), never on the file bytes."""
+    tmp = f"{path}.{os.getpid()}.{id(tab) & 0xffffff:x}.tmp"
+    pq.write_table(tab, tmp)
+    os.replace(tmp, path)
+
+
 class _PartialExchangeWriter:
-    def __init__(self, exchange_dir: str, num_shards: int, num_groups: int):
+    """Map side of the exchange. ``emit_meta`` also writes per-group
+    docmeta partials (meta_*.parquet) so the reduce side can produce the
+    per-shard docmeta WITHOUT a Ray sort over the docs table;
+    ``passthrough`` returns the input batch unchanged so the writer can
+    sit inside the fused parse→emit→write-docs chain."""
+
+    def __init__(self, exchange_dir: str, num_shards: int, num_groups: int,
+                 emit_meta: bool = False, passthrough: bool = False):
         self.exchange_dir = exchange_dir
         self.num_shards = num_shards
         self.num_groups = num_groups
+        self.emit_meta = emit_meta
+        self.passthrough = passthrough
         os.makedirs(exchange_dir, exist_ok=True)
 
+    def _write_groups(self, tab: pa.Table, grp_sorted: np.ndarray,
+                      prefix: str, part_id: str) -> None:
+        uniq, starts = np.unique(grp_sorted, return_index=True)
+        bounds = np.append(starts, len(grp_sorted))
+        for gi in range(len(uniq)):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            d = os.path.join(self.exchange_dir, f"grp={int(uniq[gi])}")
+            os.makedirs(d, exist_ok=True)
+            _atomic_parquet(tab.slice(lo, hi - lo),
+                            os.path.join(d, f"{prefix}_{part_id}.parquet"))
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
-        dls = np.asarray(t.column("dl").to_pylist(), dtype=np.int64)
+        doc_ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dls = t.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+        # deterministic part id from the batch's doc set: a retried task
+        # re-emits the SAME filenames, so partially-written groups are
+        # overwritten (os.replace) instead of duplicated, keeping df/cf
+        # exact under Ray task retry
+        part_id = hashlib.sha1(doc_ids.tobytes()).hexdigest()[:20]
+
+        if self.emit_meta and len(doc_ids):
+            doc_grp = ((doc_ids % self.num_shards)
+                       % self.num_groups).astype(np.int32)
+            m_order = np.argsort(doc_grp, kind="stable")
+            meta = t.select(DOCMETA_COLUMNS).take(
+                pa.array(m_order.astype(np.int64)))
+            self._write_groups(meta, doc_grp[m_order], "meta", part_id)
+
         runs = emit_postings_columnar(doc_ids, dls, t.column("terms"))
         n = len(runs["terms"])
         if n == 0:
-            return pa.table({"n_runs": pa.array([0], pa.int64())})
+            return t if self.passthrough else pa.table(
+                {"n_runs": pa.array([0], pa.int64())})
         shard = (runs["run_doc"] % self.num_shards).astype(np.int32)
         grp = (shard % self.num_groups).astype(np.int32)
         order = np.argsort(grp, kind="stable")
@@ -69,48 +118,118 @@ class _PartialExchangeWriter:
             "pos": pos_arr,
         }).take(pa.array(order.astype(np.int64)))
 
-        part_id = uuid.uuid4().hex
-        grp_o = grp[order]
-        uniq, starts = np.unique(grp_o, return_index=True)
-        bounds = np.append(starts, n)
-        for gi in range(len(uniq)):
-            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            d = os.path.join(self.exchange_dir, f"grp={int(uniq[gi])}")
-            os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"part_{part_id}.parquet")
-            pq.write_table(tab.slice(lo, hi - lo), path + ".tmp")
-            os.replace(path + ".tmp", path)
-        return pa.table({"n_runs": pa.array([n], pa.int64())})
+        self._write_groups(tab, grp[order], "part", part_id)
+        return t if self.passthrough else pa.table(
+            {"n_runs": pa.array([n], pa.int64())})
 
 
 class _GroupMergeWorker:
     """Stateful merge worker: merges one shard-group's partial runs into
-    final per-shard segments (encode + block-max), atomically."""
+    final per-shard segments (encode + block-max), atomically. With
+    ``docmeta_dir`` set it also assembles each shard's docmeta from the
+    map-side meta partials — replacing the former docmeta Ray sort."""
 
     def __init__(self, exchange_dir: str, segments_dir: str,
-                 num_shards: int, avgdl: float, build_id: str):
+                 num_shards: int, avgdl: float | None, build_id: str,
+                 docmeta_dir: str | None = None):
         self.exchange_dir = exchange_dir
         self.segments_dir = segments_dir
         self.num_shards = num_shards
-        self.avgdl = avgdl
+        self.avgdl = avgdl  # may arrive later via merge_groups()
         self.build_id = build_id
+        self.docmeta_dir = docmeta_dir
 
-    def _shard_done(self, s: int) -> bool:
-        marker = os.path.join(self.segments_dir, f"shard={s}", "_SUCCESS")
+    def ready(self) -> bool:
+        return True
+
+    def merge_groups(self, groups: list[int], avgdl: float | None = None
+                     ) -> int:
+        """Explicit actor-pool entry point: lets build_index spawn the
+        merge actors EARLY (their process spin-up + imports overlap the
+        map pass) and deliver avgdl at call time, once known."""
+        if avgdl is not None:
+            self.avgdl = avgdl
+        out = self(pa.table({"grp": pa.array(groups, pa.int32())}))
+        return out.num_rows
+
+    def _marker_ok(self, root: str, s: int) -> bool:
+        marker = os.path.join(root, f"shard={s}", "_SUCCESS")
         try:
             with open(marker) as f:
                 return f.read().strip() == self.build_id
         except OSError:
             return False
 
+    def _shard_done(self, s: int) -> bool:
+        if not self._marker_ok(self.segments_dir, s):
+            return False
+        return self.docmeta_dir is None \
+            or self._marker_ok(self.docmeta_dir, s)
+
+    def _write_shard_dir(self, root: str, s: int, tab: pa.Table,
+                         filename: str) -> None:
+        dst = os.path.join(root, f"shard={s}")
+        tmp = f"{dst}.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(tab, os.path.join(tmp, filename))
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write(self.build_id)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(tmp, dst)
+
+    def _emit_docmeta(self, gdir: str, files: list[str]) -> None:
+        """Concat this group's meta partials, split per shard, write
+        docmeta/shard=S (skipping shards already done)."""
+        if not files:
+            return
+        meta = pq.read_table(files)
+        if meta.num_rows == 0:
+            return
+        shards = meta.column("shard").to_numpy(zero_copy_only=False)
+        order = np.argsort(shards, kind="stable")
+        meta = meta.take(pa.array(order.astype(np.int64)))
+        shards_s = shards[order]
+        uniq, starts = np.unique(shards_s, return_index=True)
+        bounds = np.append(starts, len(shards_s))
+        for si in range(len(uniq)):
+            s = int(uniq[si])
+            if self._marker_ok(self.docmeta_dir, s):
+                continue
+            lo, hi = int(bounds[si]), int(bounds[si + 1])
+            # the shard column lives in the hive dir name, as with
+            # write_parquet(partition_cols=["shard"])
+            self._write_shard_dir(
+                self.docmeta_dir, s,
+                meta.slice(lo, hi - lo).drop_columns(["shard"]),
+                "docmeta.parquet")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+        timing = bool(os.environ.get("SE_MERGE_TIMING"))
         out_shard, out_terms = [], []
         for g in batch.column("grp").to_pylist():
             g = int(g)
             gdir = os.path.join(self.exchange_dir, f"grp={g}")
             if not os.path.isdir(gdir):
                 continue
-            part = pq.read_table(gdir)
+            _t0 = _time.time()
+            # explicit *.parquet filter: a crash between write_table and
+            # os.replace can leave a truncated *.parquet.*.tmp, which
+            # pyarrow's directory reader would otherwise try to parse
+            names = sorted(os.listdir(gdir))
+            files = [os.path.join(gdir, f) for f in names
+                     if f.endswith(".parquet") and f.startswith("part_")]
+            if self.docmeta_dir is not None:
+                self._emit_docmeta(gdir, [os.path.join(gdir, f)
+                                          for f in names
+                                          if f.endswith(".parquet")
+                                          and f.startswith("meta_")])
+            _t1 = _time.time()
+            if not files:
+                continue
+            part = pq.read_table(files)
+            _t2 = _time.time()
             if part.num_rows == 0:
                 continue
             terms_arr = part.column("term")
@@ -126,6 +245,7 @@ class _GroupMergeWorker:
             shards = part.column("shard").to_numpy(zero_copy_only=False)
             pos_col = part.column("pos").to_pylist()
 
+            _t3 = _time.time()
             order = np.lexsort((docs, codes, shards))
             codes = codes[order]
             docs_s = docs[order]
@@ -143,6 +263,7 @@ class _GroupMergeWorker:
             rstarts = np.nonzero(change)[0]
             rbounds = np.append(rstarts, len(codes))
 
+            _t4 = _time.time()
             # shard boundaries over the runs
             per_shard: dict[int, dict[str, list]] = {}
             for ri in range(len(rstarts)):
@@ -200,17 +321,18 @@ class _GroupMergeWorker:
                         [r["block_max_impact"][i] for i in t_order],
                         pa.binary()),
                 })
-                dst = os.path.join(self.segments_dir, f"shard={sh}")
-                tmp = dst + ".tmp"
-                shutil.rmtree(tmp, ignore_errors=True)
-                os.makedirs(tmp)
-                pq.write_table(tab, os.path.join(tmp, "segment.parquet"))
-                with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-                    f.write(self.build_id)
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(tmp, dst)
+                self._write_shard_dir(self.segments_dir, sh, tab,
+                                      "segment.parquet")
                 out_shard.append(sh)
                 out_terms.append(tab.num_rows)
+            if timing:
+                _t6 = _time.time()
+                print(f"[merge-timing] grp={g} files={len(files)} "
+                      f"rows={part.num_rows} "
+                      f"meta={_t1 - _t0:.2f} read={_t2 - _t1:.2f} "
+                      f"decode={_t3 - _t2:.2f} sort={_t4 - _t3:.2f} "
+                      f"runs+write={_t6 - _t4:.2f}",
+                      flush=True)
         return pa.table({
             "shard": pa.array(out_shard, pa.int32()),
             "n_terms": pa.array(out_terms, pa.int64()),

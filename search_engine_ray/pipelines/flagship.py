@@ -28,8 +28,19 @@ def sf_pages_factory(sf_dir: str):
     return factory
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """size+mtime of the documents parquet: an in-place corpus change
+    yields a new index dir instead of a silent stale resume."""
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        return f"{st.st_size}-{st.st_mtime_ns}"
+    except OSError:
+        return "nosrc"
+
+
 def index_dir_for(sf_dir: str, root: str = "/tmp/search_engine_ray") -> str:
-    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    key = hashlib.sha256(
+        f"{sf_dir}|{_corpus_fingerprint(sf_dir)}".encode()).hexdigest()[:10]
     return os.path.join(root, f"index_{os.path.basename(sf_dir)}_{key}")
 
 

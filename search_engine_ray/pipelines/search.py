@@ -150,8 +150,10 @@ class ShardIndex:
         seg_path = os.path.join(index_dir, "segments", f"shard={shard}")
         doc_path = os.path.join(index_dir, "docmeta", f"shard={shard}")
         t = pq.read_table(seg_path, memory_map=True)
-        self._rows = {t.column("term")[i].as_py(): i
-                      for i in range(t.num_rows)}
+        # segment rows are written term-sorted: lookups binary-search the
+        # Arrow column directly (O(log n) probes, cached) instead of
+        # materializing a python dict of every term at actor startup
+        self._terms = t.column("term").combine_chunks()
         self._table = t
         self._cache: dict[str, seg.TermPostings] = {}
         d = pq.read_table(doc_path, memory_map=True,
@@ -162,12 +164,31 @@ class ShardIndex:
         self._urls = d.column("url").take(pa.array(order))
         self._titles = d.column("title").take(pa.array(order))
 
+    def vocab(self) -> list[str]:
+        """All terms in this shard (testing/diagnostics)."""
+        return self._terms.to_pylist()
+
+    def _find_row(self, term: str) -> int | None:
+        lo, hi = 0, len(self._terms)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._terms[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(self._terms) and self._terms[lo].as_py() == term:
+            return lo
+        return None
+
+    _MISS = object()
+
     def lookup(self, term: str) -> seg.TermPostings | None:
-        tp = self._cache.get(term)
-        if tp is not None:
+        tp = self._cache.get(term, ShardIndex._MISS)
+        if tp is not ShardIndex._MISS:
             return tp
-        i = self._rows.get(term)
+        i = self._find_row(term)
         if i is None:
+            self._cache[term] = None  # negative cache
             return None
         row = {name: self._table.column(name)[i].as_py()
                for name in ("df", "cf", "doc_gaps", "tfs", "pos_gaps",
@@ -304,7 +325,10 @@ class ShardIndex:
                 if cur_doc(c) == INF:
                     break
                 acc += c["ub"]
-                if acc > threshold:
+                # >= : a doc whose score exactly TIES the heap minimum
+                # must be evaluated — under the (-score, doc) order a
+                # smaller doc_id wins the tie (heap replace is tie-aware)
+                if acc >= threshold:
                     pivot = idx
                     break
             if pivot == -1:
@@ -315,7 +339,8 @@ class ShardIndex:
             # block-max refinement: tighter bound from current blocks
             bm_acc = sum(block_ub(c, pivot_doc)
                          for c in cursors[:pivot + 1])
-            if len(heap) >= k and bm_acc <= threshold:
+            # strict < : equality may still tie the heap minimum
+            if len(heap) >= k and bm_acc < threshold:
                 # BMW-safe skip: no doc in [pivot_doc, d_next) can beat the
                 # threshold, where d_next is the nearest block boundary of
                 # the leading cursors, capped by the next cursor's doc
@@ -400,11 +425,22 @@ class ShardIndex:
             tfs = tp.tfs[pos[hit]]
             imp = seg.bm25_impact(tfs, dls[hit], avgdl)
             scores[hit] += (SYN_WEIGHT if is_syn else 1.0) * w * imp
+        # tie-aware O(n) top-k: argpartition alone picks an arbitrary
+        # subset among ties at the k-th boundary (diverging from WAND's
+        # tie-aware heap), a full lexsort costs O(n log n) per query —
+        # instead select strict winners, then fill the remaining slots
+        # with the smallest doc_ids among the exact boundary ties
         if len(cand) > k:
-            top = np.argpartition(-scores, k)[:k]
+            kth = -np.partition(-scores, k - 1)[k - 1]
+            win = np.nonzero(scores > kth)[0]
+            tie = np.nonzero(scores == kth)[0]
+            need = k - len(win)
+            if need > 0 and len(tie) > need:
+                tie = tie[np.argpartition(cand[tie], need - 1)[:need]]
+            top = np.concatenate([win, tie[:max(need, 0)]])
         else:
             top = np.arange(len(cand))
-        order = top[np.lexsort((cand[top], -scores[top]))]
+        order = top[np.lexsort((cand[top], -scores[top]))][:k]
         out = []
         for i in order:
             url, title = self.doc_meta(int(cand[i]))

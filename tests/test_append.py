@@ -28,9 +28,14 @@ def appended(ray_session, tmp_path_factory):
     new_pages = str(root / "new")
     os.makedirs(base_pages)
     os.makedirs(new_pages)
+    import pyarrow as pa
+
     t1 = gen_pages(200, seed=42)
-    # second corpus overlaps the first (seed 42 prefix) → dedup must drop
-    t2 = gen_pages(300, seed=42).slice(150, 150)
+    # second corpus overlaps the first (seed 42 prefix) → dedup must drop;
+    # it also contains duplicate urls WITHIN itself (ADVICE r1: append
+    # must apply the same within-batch url dedup as the base build)
+    fresh = gen_pages(300, seed=42).slice(150, 150)
+    t2 = pa.concat_tables([fresh, fresh.slice(0, 30)])
     pq.write_table(t1, os.path.join(base_pages, "p.parquet"))
     pq.write_table(t2, os.path.join(new_pages, "p.parquet"))
 

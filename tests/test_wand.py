@@ -74,7 +74,7 @@ def test_wand_randomized(shard_indexes):
     rng = np.random.default_rng(7)
     shards, avgdl = shard_indexes
     # pull a real vocabulary sample from the first shard
-    vocab = list(shards[0]._rows.keys())
+    vocab = shards[0].vocab()
     for trial in range(15):
         n_terms = int(rng.integers(1, 6))
         terms = [(vocab[int(rng.integers(0, len(vocab)))],
@@ -84,3 +84,63 @@ def test_wand_randomized(shard_indexes):
         got = shard.wand_topk(terms, k, avgdl)
         expect = exhaustive_topk(shard, terms, k, avgdl)
         assert [d for _, d in got] == [d for d, _ in expect], (terms, k)
+
+
+@pytest.fixture(scope="module")
+def tied_shards(ray_session, tmp_path_factory):
+    """An index of IDENTICAL documents (distinct urls): every doc scores
+    exactly the same, so the k-th boundary is all ties."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.search import ShardIndex
+
+    root = tmp_path_factory.mktemp("ties")
+    pages_path = str(root / "pages")
+    os.makedirs(pages_path)
+    html = (b"<html><head><title>tie page</title></head>"
+            b"<body>alpha beta gamma alpha</body></html>")
+    pq.write_table(pa.table({
+        "url": pa.array([f"http://tie{i}.com/" for i in range(60)]),
+        "html": pa.array([html] * 60, pa.binary()),
+    }), os.path.join(pages_path, "p.parquet"))
+
+    def factory(columns):
+        return rd.read_parquet(pages_path, columns=columns)
+
+    out = str(root / "index")
+    man = build_index(factory, out, docs_per_shard=30)
+    shards = [ShardIndex(out, s) for s in range(man["stats"]["num_shards"])]
+    return shards, man["stats"]["avgdl"]
+
+
+def test_tied_topk_wand_equals_exhaustive(tied_shards):
+    """ADVICE r1: tied scores at the k-th boundary must resolve to the
+    same docs (smallest doc_id wins) on BOTH scoring paths."""
+    from search_engine_ray.query.compile import Word
+
+    terms = [("alpha", 1.3)]
+    for shard, avgdl in [(s, tied_shards[1]) for s in tied_shards[0]]:
+        tp = shard.lookup("alpha")
+        if tp is None or len(tp.doc_ids) < 5:
+            continue
+        k = max(2, len(tp.doc_ids) // 2)
+        got_wand = shard.wand_topk(terms, k, avgdl)
+        expect = exhaustive_topk(shard, terms, k, avgdl)
+        assert [d for _, d in got_wand] == [d for d, _ in expect]
+        # the winners are exactly the k smallest doc_ids (scores all tie)
+        assert [d for _, d in got_wand] == sorted(
+            int(d) for d in tp.doc_ids)[:k]
+        # exhaustive engine path (score_topk without WAND) agrees too
+        idf = {"alpha": 1.3}
+        plan = Word("alpha")
+        shard.wand_ok = False
+        try:
+            got_exh = shard.score_topk(plan, k, idf, avgdl)
+        finally:
+            shard.wand_ok = True
+        assert [d for _, d, _, _ in got_exh] == [d for _, d in got_wand]
