@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.minhash_dedup,
         "simhash_dedup": dedup.simhash_dedup,
         "embedding_neardup": dedup.embedding_neardup,
+        "ngram_jaccard": _ngram_jaccard,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -77,6 +78,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reference-exact compat ranking, distributed per chunk
         "search_compat": _search_compat,
     }
+
+
+def _ngram_jaccard(sf_dir: str) -> Any:
+    """Exact n-gram Jaccard on a fixed deterministic pair list
+    (distributed join-verify path; rows-only check)."""
+    from search_engine_ray.functions.dedup import ngram_jaccard
+
+    pairs = [(i, i + 1) for i in range(0, 100, 2)]
+    return ngram_jaccard(sf_dir, pairs=pairs)
 
 
 def _search_compat(sf_dir: str) -> Any:
