@@ -85,3 +85,42 @@ def test_wire_roundtrip():
     assert [(u, t) for u, t, _ in back] == [(u, t) for u, t, _ in FIXTURE]
     for (_, _, gs), (_, _, es) in zip(back, FIXTURE):
         assert struct.pack("<d", gs) == struct.pack("<d", es)
+
+
+def test_http_serving_surface(ray_session, sf_dir):
+    """RootPlugin routing over the Ray engine: /search?q= returns the
+    byte-pinned results page; / returns the index form."""
+    import http.client
+
+    from search_engine_ray.pipelines.flagship import build_sf_index
+    from search_engine_ray.pipelines.search import SearchEngine
+    from search_engine_ray.pipelines.server import serve
+    from search_engine_ray.pipelines.results_sink import build_search_html
+
+    eng = SearchEngine(build_sf_index(sf_dir))
+    srv, _thread = serve(eng)
+    try:
+        port = srv.server_address[1]
+
+        def get(path):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            c.request("GET", path)
+            r = c.getresponse()
+            body = r.read()
+            c.close()
+            return r.status, body
+
+        status, body = get("/")
+        assert status == 200 and b"<form" in body
+
+        status, body = get("/search?q=data")
+        assert status == 200
+        expect = build_search_html(eng.search("data", k=10)).encode()
+        assert body == expect
+        assert b"<li>" in body  # the corpus matches 'data'
+
+        status, _ = get("/logo.svg")
+        assert status == 404
+    finally:
+        srv.shutdown()
+        eng.close()
