@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _ngram_jaccard,
         # text analysis
         "lang_id": textstats.lang_id,
+        "gopher_quality": textstats.gopher_quality,
         "quality_score": textstats.quality_score,
         "fingerprints": textstats.fingerprints,
         # multimodal plumbing (stubbed decode, real actor-pool stages)
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_by_segment": relational.orders_by_segment,
         "events_tumbling_window": relational.events_tumbling_window,
+        "events_sessionize": _sessionize,
         "orders_by_month": relational.orders_by_month,
         "top_parts_by_price": relational.top_parts_by_price,
         "suppliers_per_region": relational.suppliers_per_region,
@@ -78,6 +80,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reference-exact compat ranking, distributed per chunk
         "search_compat": _search_compat,
     }
+
+
+def _sessionize(sf_dir: str) -> Any:
+    from search_engine_ray.functions.sessions import sessionize
+
+    return sessionize(sf_dir)
 
 
 def _ngram_jaccard(sf_dir: str) -> Any:
@@ -140,6 +148,10 @@ def oracle_sql() -> dict[str, str]:
     out["suppliers_per_region"] = relational.SQL_SUPPLIERS_PER_REGION
     out["source_stats"] = relational.SQL_SOURCE_STATS
     out["ann_topk"] = ann.SQL_ANN_TOPK
+    from search_engine_ray.functions.sessions import SQL_SESSIONIZE
+    out["events_sessionize"] = SQL_SESSIONIZE
+    from search_engine_ray.functions.textstats import SQL_GOPHER_QUALITY
+    out["gopher_quality"] = SQL_GOPHER_QUALITY
     # link_edges: the synthesized page template embeds exactly one anchor
     # per document, so the parser-extracted edge list is SQL-expressible
     from search_engine_ray.functions.docops import _TOKS, _URL_EXPR
