@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link graph (F8 / anchor capture)
         "link_edges": _link_edges,
         "link_indegree": _link_indegree,
+        "link_pagerank": _link_pagerank,
         # §2.2 parse/tokenize surface (byte-identity invariant)
         "extract_text": docops.extract_text,
         "docmeta": docops.docmeta,
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": docops.token_count,
         "lang_count": docops.lang_count,
         "term_stats": docops.term_stats,
+        "top_terms_sketch": _top_terms,
         "stopword_stats": docops.stopword_stats,
         # dedup (exact; upgrades reference Bloom filter F1/J5)
         "dedup_exact": docops.dedup_exact,
@@ -75,11 +77,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        "ann_topk_ivf": ann.ann_topk_ivf,
         # flagship: index build + BM25 serving (non-SQL → rows-only check)
         "search_bm25": _search_bm25,
         # reference-exact compat ranking, distributed per chunk
         "search_compat": _search_compat,
     }
+
+
+def _top_terms(sf_dir: str) -> Any:
+    from search_engine_ray.functions.sketches import top_terms
+
+    return top_terms(sf_dir)
 
 
 def _sessionize(sf_dir: str) -> Any:
@@ -135,6 +144,13 @@ def _link_indegree(sf_dir: str) -> Any:
     return link_indegree(sf_dir)
 
 
+def _link_pagerank(sf_dir: str) -> Any:
+    """Iterative algorithm (join+groupby per round) — rows-only check."""
+    from search_engine_ray.functions.links import link_pagerank
+
+    return link_pagerank(sf_dir, n_iter=3)
+
+
 def oracle_sql() -> dict[str, str]:
     from search_engine_ray.functions import ann, relational
     from search_engine_ray.functions.docops import SQL as DOC_SQL
@@ -152,6 +168,8 @@ def oracle_sql() -> dict[str, str]:
     out["events_sessionize"] = SQL_SESSIONIZE
     from search_engine_ray.functions.textstats import SQL_GOPHER_QUALITY
     out["gopher_quality"] = SQL_GOPHER_QUALITY
+    from search_engine_ray.functions.sketches import SQL_TOP_TERMS
+    out["top_terms_sketch"] = SQL_TOP_TERMS
     # link_edges: the synthesized page template embeds exactly one anchor
     # per document, so the parser-extracted edge list is SQL-expressible
     from search_engine_ray.functions.docops import _TOKS, _URL_EXPR

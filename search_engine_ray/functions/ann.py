@@ -205,3 +205,149 @@ def ann_topk_lsh(sf_dir: str, k: int = K_DEFAULT, query_vec_id: int = 0,
     return pa.table({"rank": pa.array(range(1, len(rows) + 1), pa.int64()),
                      "vec_id": pa.array([vid for vid, _ in rows],
                                         pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# IVF index: k-means centroids → centroid-partitioned storage → a query
+# scans only its nprobe nearest centroids' directories. The brief's "IVF
+# variant as the scale path" alongside the LSH index above.
+# ---------------------------------------------------------------------------
+
+def _emb_matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+    col = b.column("embedding").combine_chunks()
+    dim = len(col.values) // max(len(col), 1)
+    emb = col.values.to_numpy(zero_copy_only=False).astype(
+        np.float64).reshape(len(ids), dim)
+    return ids, emb
+
+
+def _kmeans_centroids(sf_dir: str, n_centroids: int, n_iter: int
+                      ) -> np.ndarray:
+    """Distributed Lloyd iterations: per-batch assignment + partial
+    (sum, count) per centroid; the driver reduces n_centroids × dim
+    floats per pass. Init = the n_centroids lowest vec_ids
+    (deterministic)."""
+    import ray.data as rd
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = (ds.sort("vec_id").limit(n_centroids)
+             .to_pandas())
+    cents = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in first["embedding"]])
+    for _ in range(n_iter):
+        c_ref = ray.put(cents)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            _ids, emb = _emb_matrix(b)
+            d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            k, dim = c.shape
+            sums = np.zeros((k, dim))
+            np.add.at(sums, assign, emb)
+            counts = np.bincount(assign, minlength=k)
+            return pa.table({
+                "cid": pa.array(np.arange(k), pa.int32()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "cnt": pa.array(counts, pa.int64()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=4096).to_pandas()
+        k, dim = cents.shape
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for cid, vsum, cnt in zip(parts["cid"], parts["vsum"],
+                                  parts["cnt"]):
+            sums[cid] += np.asarray(vsum)
+            counts[cid] += cnt
+        nonzero = counts > 0
+        cents[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return cents
+
+
+def build_ann_ivf_index(sf_dir: str, n_centroids: int = 16,
+                        n_iter: int = 5,
+                        root: str = "/tmp/search_engine_ray") -> str:
+    """Centroid-partitioned IVF index, cached by corpus fingerprint."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    cfg = {"n_centroids": n_centroids, "n_iter": n_iter,
+           "src_size": st.st_size, "src_mtime_ns": st.st_mtime_ns,
+           "version": 1}
+    h = hashlib.sha256(
+        json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:12]
+    out = os.path.join(root, f"ivf_{os.path.basename(sf_dir)}_{h}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+
+    cents = _kmeans_centroids(sf_dir, n_centroids, n_iter)
+    c_ref = ray.put(cents)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        ids, emb = _emb_matrix(b)
+        d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            "cid": pa.array(d.argmin(axis=1).astype(np.int32), pa.int32()),
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": b.column("embedding"),
+        })
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+       .sort("cid").write_parquet(tmp, partition_cols=["cid"]))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    np.save(os.path.join(out, "_centroids.npy"), cents)
+    with open(os.path.join(out, "_SUCCESS"), "w") as f:
+        json.dump(cfg, f)
+    return out
+
+
+def ann_topk_ivf(sf_dir: str, k: int = K_DEFAULT, query_vec_id: int = 0,
+                 n_centroids: int = 16, nprobe: int = 4):
+    """IVF ANN: scan only the nprobe centroids nearest the query."""
+    import os
+
+    import ray.data as rd
+
+    index_dir = build_ann_ivf_index(sf_dir, n_centroids=n_centroids)
+    cents = np.load(os.path.join(index_dir, "_centroids.npy"))
+    q = _query_vector(sf_dir, query_vec_id)
+    d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(d, kind="stable")[:nprobe]
+    paths = []
+    for cid in probe:
+        dd = os.path.join(index_dir, f"cid={int(cid)}")
+        if os.path.isdir(dd):
+            paths.extend(os.path.join(dd, f) for f in sorted(os.listdir(dd))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
+    q_ref = ray.put(q)
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        ids, sims = _batch_sims(b, ray.get(q_ref))
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "sim": pa.array(sims[order], pa.float64())})
+
+    partials = (rd.read_parquet(paths)
+                .map_batches(partial_topk, batch_format="pyarrow",
+                             batch_size=4096).take_all())
+    rows = sorted(partials, key=lambda r: (-r["sim"], r["vec_id"]))[:k]
+    return pa.table({"rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+                     "vec_id": pa.array([r["vec_id"] for r in rows],
+                                        pa.int64())})

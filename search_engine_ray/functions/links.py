@@ -9,6 +9,7 @@ building block for static rank signals at scale.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -67,3 +68,99 @@ def link_indegree(sf_dir: str, k: int = 50):
            .limit(k).to_pandas())
     top["in_degree"] = top["in_degree"].astype("int64")
     return top[["dst", "in_degree"]]
+
+
+# ---------------------------------------------------------------------------
+def link_pagerank(sf_dir: str, n_iter: int = 5, k: int = 50,
+                  num_partitions: int = 8):
+    """PageRank over the extracted link graph — the iterative-algorithm
+    pattern: each Lloyd-style round is one hash join (ranks ⋈ edges on
+    src) plus one groupby(dst) partial-sum, both distributed; the driver
+    never holds the node set.
+
+    Deterministic integer arithmetic: ranks are nano-units (1e9 = mass
+    1.0), contributions are rank // outdeg and the damping step is
+    (85 * insum) // 100 — no float summation order anywhere. Dangling
+    mass is dropped rather than redistributed (documented
+    simplification; ranking order is unaffected for top-k use).
+    Returns the top-k (url, rank_nano).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    agg_args = {"num_cpus": 0.1}
+    edges = (link_edges(sf_dir).select_columns(["src", "dst"])
+             .materialize())
+    nodes = (edges.select_columns(["src"])
+             .union(edges.select_columns(["dst"]).rename_columns(
+                 {"dst": "src"}))
+             .groupby("src").aggregate(_Count(alias_name="_c"))
+             .drop_columns(["_c"]).rename_columns({"src": "url"})
+             .materialize())
+    n_nodes = nodes.count()
+    outdeg = edges.groupby("src").aggregate(
+        _Count(alias_name="outdeg")).materialize()
+    edges_d = edges.join(outdeg, join_type="inner",
+                         num_partitions=num_partitions, on=("src",),
+                         aggregator_ray_remote_args=agg_args).materialize()
+
+    base = int(0.15e9) // n_nodes
+    init = int(1e9) // n_nodes
+
+    def seed(b):
+        import pyarrow as _pa
+        return _pa.table({
+            "url": b.column("url"),
+            "rank_nano": _pa.array(
+                np.full(b.num_rows, init, dtype=np.int64), _pa.int64()),
+        })
+
+    ranks = nodes.map_batches(seed, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        j = edges_d.join(ranks, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("src",), right_on=("url",),
+                         aggregator_ray_remote_args=agg_args)
+
+        def contrib(b):
+            import pyarrow as _pa
+            r = b.column("rank_nano").to_numpy(zero_copy_only=False)
+            d = b.column("outdeg").to_numpy(zero_copy_only=False)
+            return _pa.table({
+                "url": b.column("dst"),
+                "c": _pa.array(r // np.maximum(d, 1), _pa.int64()),
+            })
+
+        insum = (j.map_batches(contrib, batch_format="pyarrow")
+                 .groupby("url").aggregate(_Sum("c", alias_name="insum")))
+        # every node gets the base rank; nodes with no inlinks are kept
+        # via a left-ish union trick: zero-insum rows for all nodes
+        zero = nodes.map_batches(
+            lambda b: __import__("pyarrow").table(
+                {"url": b.column("url"),
+                 "insum": __import__("pyarrow").array(
+                     np.zeros(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow")
+        merged = (insum.union(zero).groupby("url")
+                  .aggregate(_Sum("insum", alias_name="insum")))
+
+        def damp(b):
+            import pyarrow as _pa
+            s = b.column("insum").to_numpy(zero_copy_only=False)
+            return _pa.table({
+                "url": b.column("url"),
+                "rank_nano": _pa.array(base + (85 * s) // 100,
+                                       _pa.int64()),
+            })
+
+        ranks = merged.map_batches(damp,
+                                   batch_format="pyarrow").materialize()
+
+    top = (ranks.sort(["rank_nano", "url"], descending=[True, False])
+           .limit(k).to_pandas())
+    return pa.table({
+        "url": pa.array(top["url"].tolist(), pa.string()),
+        "rank_nano": pa.array(top["rank_nano"].astype("int64").tolist(),
+                              pa.int64()),
+    })

@@ -45,3 +45,17 @@ def test_lsh_index_is_sublinear(ray_session, sf_dir):
                 for f in os.listdir(p) if f.endswith(".parquet"))
     # 4 tables × (≈1/256 of the corpus each) — far below a full scan
     assert 0 < scanned < total // 2, (scanned, total)
+
+
+def test_ivf_recall_and_determinism(ray_session, sf_dir):
+    from search_engine_ray.functions.ann import ann_topk, ann_topk_ivf
+
+    exact = ann_topk(sf_dir, k=10)
+    ivf = ann_topk_ivf(sf_dir, k=10)
+    # the query vector itself always survives (its own centroid is probed)
+    assert ivf.column("vec_id")[0].as_py() == \
+        exact.column("vec_id")[0].as_py()
+    overlap = set(ivf.column("vec_id").to_pylist()) & \
+        set(exact.column("vec_id").to_pylist())
+    assert len(overlap) >= 5, overlap
+    assert ann_topk_ivf(sf_dir, k=10).equals(ivf)  # cached + deterministic
