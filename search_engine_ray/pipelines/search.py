@@ -271,18 +271,36 @@ class ShardIndex:
             cand = np.intersect1d(cand, tp.doc_ids, assume_unique=True)
             if not len(cand):
                 return _EMPTY
-        out = []
+        # vectorized adjacency check across ALL candidates at once: pack
+        # (candidate ordinal, shifted position) into one sorted uint64
+        # key per term occurrence and intersect the key sets — no
+        # per-candidate Python loop (a frequent pair used to cost ~10 µs
+        # × candidates × terms here)
         idxs = [np.searchsorted(tp.doc_ids, cand) for tp in tps]
-        for j, d in enumerate(cand):
-            base = tps[0].positions_for(int(idxs[0][j]))
-            for i in range(1, len(tps)):
-                if not len(base):
-                    break
-                pi = tps[i].positions_for(int(idxs[i][j]))
-                base = np.intersect1d(base, pi - i, assume_unique=True)
-            if len(base):
-                out.append(d)
-        return np.asarray(out, dtype=np.int64)
+
+        def flat_keys(tp, idx: np.ndarray, shift: int) -> np.ndarray:
+            starts = tp.pos_offsets[idx]
+            ln = tp.pos_offsets[idx + 1] - starts
+            total = int(ln.sum())
+            if total == 0:
+                return np.empty(0, dtype=np.int64)
+            base = np.repeat(starts, ln)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(ln) - ln, ln)
+            pos = tp.positions[base + offs] - shift
+            ords = np.repeat(np.arange(len(idx), dtype=np.int64), ln)
+            keep = pos >= 0
+            return (ords[keep] << np.int64(32)) | pos[keep]
+
+        keys = flat_keys(tps[0], idxs[0], 0)
+        for i in range(1, len(tps)):
+            if not len(keys):
+                return _EMPTY
+            keys = np.intersect1d(keys, flat_keys(tps[i], idxs[i], i),
+                                  assume_unique=True)
+        if not len(keys):
+            return _EMPTY
+        return cand[np.unique(keys >> np.int64(32))]
 
     # -- block-max WAND (pure-disjunction top-k, the scale path) ------------
     def wand_topk(self, weighted_terms: list[tuple[str, float]], k: int,
@@ -479,7 +497,15 @@ class SearchEngine:
     """Compile queries, fan out to the searcher pool, merge top-k."""
 
     def __init__(self, index_dir: str, num_searchers: int | None = None,
-                 use_synonyms: bool = True, cache_size: int = 0):
+                 use_synonyms: bool = True, cache_size: int = 0,
+                 use_wand: bool = False):
+        # use_wand=False by default: measured on this corpus the per-doc
+        # Python WAND constant (~9 µs) is ~200× the vectorized scorer's
+        # per-doc cost (~50 ns), so skipping can never pay for itself —
+        # a frequent single term costs 15 ms/shard via WAND vs 0.22 ms
+        # exhaustive (BENCH/BASELINE.md r2). Block-max WAND stays fully
+        # implemented + equivalence-tested (tests/test_wand.py) and wins
+        # once cursors run at C speed; opt in with use_wand=True.
         man = seg.read_manifest(index_dir)
         if man is None or "terms" not in man.get("stages_done", []):
             raise FileNotFoundError(f"no complete index at {index_dir}")
@@ -491,10 +517,15 @@ class SearchEngine:
                             t.column("df").to_pylist()))
         self.synsets = qc.get_default_synsets() if use_synonyms else None
         if num_searchers is None:
+            # one searcher per CPU: per-query latency is bounded by the
+            # slowest actor's SERIAL loop over its shards, so fewer
+            # shards per actor wins (measured: p50 104 → 76 ms at 3.2M
+            # docs going from cpus/2 to cpus actors)
             num_searchers = min(num_shards, max(1, int(
-                ray.cluster_resources().get("CPU", 4)) // 2))
+                ray.cluster_resources().get("CPU", 4))))
         stale = set(man["stats"].get("wand_stale_shards", []))
-        wand_ok = {s for s in range(num_shards) if s not in stale}
+        wand_ok = ({s for s in range(num_shards) if s not in stale}
+                   if use_wand else set())
         assign: list[list[int]] = [[] for _ in range(num_searchers)]
         for s in range(num_shards):
             assign[s % num_searchers].append(s)
