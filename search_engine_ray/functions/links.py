@@ -73,10 +73,18 @@ def link_indegree(sf_dir: str, k: int = 50):
 # ---------------------------------------------------------------------------
 def link_pagerank(sf_dir: str, n_iter: int = 5, k: int = 50,
                   num_partitions: int = 8):
-    """PageRank over the extracted link graph — the iterative-algorithm
-    pattern: each Lloyd-style round is one hash join (ranks ⋈ edges on
-    src) plus one groupby(dst) partial-sum, both distributed; the driver
-    never holds the node set.
+    """PageRank over the extracted link graph (see pagerank_from_edges)."""
+    return pagerank_from_edges(
+        link_edges(sf_dir).select_columns(["src", "dst"]),
+        n_iter=n_iter, k=k, num_partitions=num_partitions)
+
+
+def pagerank_from_edges(edges_in, n_iter: int = 5, k: int = 50,
+                        num_partitions: int = 8):
+    """PageRank over an edge dataset (src, dst) — the iterative-algorithm
+    pattern: each round is one hash join (ranks ⋈ edges on src) plus one
+    groupby(dst) partial-sum, both distributed; the driver never holds
+    the node set.
 
     Deterministic integer arithmetic: ranks are nano-units (1e9 = mass
     1.0), contributions are rank // outdeg and the damping step is
@@ -85,12 +93,15 @@ def link_pagerank(sf_dir: str, n_iter: int = 5, k: int = 50,
     simplification; ranking order is unaffected for top-k use).
     Returns the top-k (url, rank_nano).
     """
-    import ray.data as rd
+    import ray.data as rd  # noqa: F401
     from ray.data.aggregate import Count as _Count, Sum as _Sum
 
     agg_args = {"num_cpus": 0.1}
-    edges = (link_edges(sf_dir).select_columns(["src", "dst"])
-             .materialize())
+    edges = edges_in.materialize()
+    # ray's hash join mis-handles empty partitions whose LEFT side is
+    # itself a join output (schema-less empty blocks) — keep every
+    # partition non-trivially populated
+    num_partitions = max(1, min(num_partitions, edges.count() // 32 or 1))
     nodes = (edges.select_columns(["src"])
              .union(edges.select_columns(["dst"]).rename_columns(
                  {"dst": "src"}))
@@ -98,11 +109,17 @@ def link_pagerank(sf_dir: str, n_iter: int = 5, k: int = 50,
              .drop_columns(["_c"]).rename_columns({"src": "url"})
              .materialize())
     n_nodes = nodes.count()
-    outdeg = edges.groupby("src").aggregate(
-        _Count(alias_name="outdeg")).materialize()
+    # distinct right-key name: same-named join keys can survive as a
+    # duplicate column on some block layouts, breaking the next join
+    outdeg = (edges.groupby("src").aggregate(_Count(alias_name="outdeg"))
+              .rename_columns({"src": "osrc"}).materialize())
     edges_d = edges.join(outdeg, join_type="inner",
                          num_partitions=num_partitions, on=("src",),
-                         aggregator_ray_remote_args=agg_args).materialize()
+                         right_on=("osrc",),
+                         aggregator_ray_remote_args=agg_args)
+    if "osrc" in edges_d.columns():
+        edges_d = edges_d.drop_columns(["osrc"])
+    edges_d = edges_d.materialize()
 
     base = int(0.15e9) // n_nodes
     init = int(1e9) // n_nodes

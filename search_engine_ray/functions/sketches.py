@@ -84,11 +84,16 @@ def top_terms(sf_dir: str, k: int = 25, capacity: int = 512):
               .to_pandas())
     counts = counts.sort_values(["n", "term"],
                                 ascending=[False, True]).head(k)
+    floor_bound = total_n // capacity
+    if len(counts) < k and floor_bound > 0:
+        raise ValueError(
+            f"top-{k} not provably exact: only {len(counts)} candidates "
+            f"survived the sketch; grow capacity")
     kth = int(counts["n"].iloc[-1]) if len(counts) >= k else 0
-    if len(counts) >= k and kth <= total_n // capacity:
+    if len(counts) >= k and kth <= floor_bound:
         raise ValueError(
             f"top-{k} not provably exact: kth count {kth} ≤ "
-            f"N/capacity {total_n // capacity}; grow capacity")
+            f"N/capacity {floor_bound}; grow capacity")
     return pa.table({
         "term": pa.array(counts["term"].tolist(), pa.string()),
         "n": pa.array(counts["n"].astype("int64").tolist(), pa.int64()),
