@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_by_segment": relational.orders_by_segment,
         "events_tumbling_window": relational.events_tumbling_window,
+        "events_hopping_window": relational.events_hopping_window,
         "events_sessionize": _sessionize,
         "orders_by_month": relational.orders_by_month,
         "top_parts_by_price": relational.top_parts_by_price,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
     out["q1_pricing_summary"] = relational.SQL_Q1
     out["orders_by_segment"] = relational.SQL_ORDERS_BY_SEGMENT
     out["events_tumbling_window"] = relational.SQL_EVENTS_WINDOW
+    out["events_hopping_window"] = relational.SQL_EVENTS_HOPPING
     out["orders_by_month"] = relational.SQL_ORDERS_BY_MONTH
     out["top_parts_by_price"] = relational.SQL_TOP_PARTS
     out["suppliers_per_region"] = relational.SQL_SUPPLIERS_PER_REGION

@@ -261,3 +261,54 @@ SELECT source, COUNT(*) AS n_docs,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+def events_hopping_window(sf_dir: str, size_min: int = 5, hop_min: int = 1):
+    """Hopping (sliding) window aggregate: each event lands in
+    size/hop overlapping windows — the flat_map + pre-aggregated groupby
+    pattern (window key is the window START in integer µs)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    size_us = size_min * 60_000_000
+    hop_us = hop_min * 60_000_000
+    n_hops = size_us // hop_us
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64").to_numpy()
+        vmic = np.floor(b["value"].to_numpy() * 1e6).astype(np.int64)
+        et = b["event_type"].to_numpy()
+        # window starts covering ts: last hop boundary ≤ ts, going back
+        last = (us // hop_us) * hop_us
+        starts = last[:, None] - np.arange(n_hops, dtype=np.int64) * hop_us
+        keep = us[:, None] < starts + size_us  # always true; kept explicit
+        g = pd.DataFrame({
+            "event_type": np.repeat(et, n_hops),
+            "window_us": starts.reshape(-1),
+            "n_events": np.ones(len(us) * n_hops, np.int64),
+            "sum_value_micros": np.repeat(vmic, n_hops),
+        })[keep.reshape(-1)]
+        return g.groupby(["event_type", "window_us"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["event_type", "window_us"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_micros", alias_name="sum_value_micros"))
+
+
+SQL_EVENTS_HOPPING = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 1e6) AS BIGINT) AS vmic
+  FROM events
+), x AS (
+  SELECT event_type, vmic,
+         (us // 60000000) * 60000000 - h.i * 60000000 AS window_us
+  FROM e, (SELECT unnest(generate_series(0, 4)) AS i) h
+)
+SELECT event_type, window_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(vmic) AS BIGINT) AS sum_value_micros
+FROM x
+GROUP BY event_type, window_us
+ORDER BY event_type, window_us
+"""

@@ -1,0 +1,64 @@
+"""Exchange idempotency under Ray task retry (ADVICE r1): a map batch
+re-executed after a partial failure must OVERWRITE its part files, not
+duplicate rows — df/cf and docmeta stay exact."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _fake_docs_batch(n: int = 64) -> pa.Table:
+    rng = np.random.default_rng(7)
+    urls = [f"http://x{i}.com/" for i in range(n)]
+    terms = [" ".join(rng.choice(["alpha", "beta", "gamma", "delta"],
+                                 size=rng.integers(3, 9)))
+             for _ in range(n)]
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "dl": pa.array([len(t.split()) for t in terms], pa.int32()),
+        "terms": pa.array(terms, pa.string()),
+        "shard": pa.array((np.arange(n) % 4).astype(np.int32), pa.int32()),
+        "url": pa.array(urls, pa.string()),
+        "title": pa.array(["t"] * n, pa.string()),
+        "word_count": pa.array([5] * n, pa.uint32()),
+        "title_length": pa.array([1] * n, pa.uint32()),
+        "url_length": pa.array([14] * n, pa.uint32()),
+        "english": pa.array([True] * n, pa.bool_()),
+        "tld": pa.array([0] * n, pa.uint8()),
+    })
+
+
+def test_duplicate_emit_is_idempotent(tmp_path):
+    from search_engine_ray.pipelines.exchange import (_GroupMergeWorker,
+                                                      _PartialExchangeWriter)
+
+    batch = _fake_docs_batch()
+
+    def run(n_emits: int, tag: str):
+        exchange = str(tmp_path / f"ex_{tag}")
+        segments = str(tmp_path / f"seg_{tag}")
+        docmeta = str(tmp_path / f"meta_{tag}")
+        os.makedirs(segments)
+        os.makedirs(docmeta)
+        w = _PartialExchangeWriter(exchange, num_shards=4, num_groups=2,
+                                   emit_meta=True)
+        for _ in range(n_emits):  # a retry re-emits the same batch
+            w(batch)
+        m = _GroupMergeWorker(exchange, segments, 4, 5.0, "bid",
+                              docmeta_dir=docmeta)
+        m(pa.table({"grp": pa.array([0, 1], pa.int32())}))
+        segs = pq.read_table(segments, columns=["term", "df", "cf"])
+        meta = pq.read_table(docmeta, columns=["doc_id"])
+        return (sorted(zip(segs.column("term").to_pylist(),
+                           segs.column("df").to_pylist(),
+                           segs.column("cf").to_pylist())),
+                sorted(meta.column("doc_id").to_pylist()))
+
+    once = run(1, "once")
+    twice = run(3, "retry")
+    assert once == twice
+    assert len(once[1]) == 64  # every doc exactly once in docmeta
