@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docmeta": docops.docmeta,
         # §2.6 aggregates
         "token_count": docops.token_count,
+        "token_count_bpe": docops.token_count_bpe,
         "lang_count": docops.lang_count,
         "term_stats": docops.term_stats,
         "top_terms_sketch": _top_terms,

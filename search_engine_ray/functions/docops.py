@@ -112,6 +112,31 @@ SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents ORDER BY doc_id
 """
 
 
+# BPE-ish pre-tokenizer: alnum runs OR single non-alnum-non-space marks —
+# the GPT-2-style "word or punctuation" split, restricted to ASCII
+# classes so Python re and DuckDB RE2 agree byte-for-byte
+_BPE_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def token_count_bpe(sf_dir: str):
+    """Sub-word-ish token count: runs of [a-z0-9] plus individual
+    punctuation marks over the lowercased text (vectorized str.count)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.lower().str.count(_BPE_RE).astype("int64")
+        return pd.DataFrame({"doc_id": b["doc_id"], "n_tokens_bpe": n})
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
+SQL["token_count_bpe"] = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_tokens_bpe
+FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 def lang_count(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["lang"])
