@@ -243,10 +243,20 @@ class _GroupMergeWorker:
             dls = part.column("dl").to_numpy(zero_copy_only=False).astype(
                 np.int64)
             shards = part.column("shard").to_numpy(zero_copy_only=False)
-            pos_col = part.column("pos").to_pylist()
 
             _t3 = _time.time()
             order = np.lexsort((docs, codes, shards))
+            # reorder the pos binary column ONCE; per-run blobs are then
+            # contiguous (offset, data) buffer slices — no python bytes
+            pos_sorted = part.column("pos").combine_chunks().take(
+                pa.array(order.astype(np.int64)))
+            assert pos_sorted.offset == 0
+            pos_offs = np.frombuffer(pos_sorted.buffers()[1],
+                                     dtype=np.int32)[:len(order) + 1]
+            _pd_buf = pos_sorted.buffers()[2]
+            pos_data = (np.frombuffer(_pd_buf, dtype=np.uint8)
+                        if _pd_buf is not None
+                        else np.empty(0, dtype=np.uint8))
             codes = codes[order]
             docs_s = docs[order]
             tfs_s = tfs[order]
@@ -264,6 +274,30 @@ class _GroupMergeWorker:
             rbounds = np.append(rstarts, len(codes))
 
             _t4 = _time.time()
+            # vectorized per-group encoding: ONE varint stream per column
+            # with per-row byte offsets, so each posting list is a bytes
+            # slice instead of a per-run encode call (the per-run python
+            # loop was ~0.5 s/group at 350k rows)
+            from ..stages.emit import _varint_stream_with_offsets
+
+            n_rows = len(codes)
+            run_len = np.diff(rbounds)
+            ds64 = docs_s.astype(np.uint64)
+            deltas = np.empty(n_rows, np.uint64)
+            deltas[0] = ds64[0]
+            np.subtract(ds64[1:], ds64[:-1], out=deltas[1:])
+            deltas[rstarts] = ds64[rstarts]  # absolute at run starts
+            doc_stream, doc_offs = _varint_stream_with_offsets(deltas)
+            tf_stream, tf_offs = _varint_stream_with_offsets(
+                tfs_s.astype(np.uint64))
+            run_cf = np.add.reduceat(tfs_s, rstarts)
+            run_max = np.maximum.reduceat(impacts, rstarts)
+            # single-block runs' block_last_doc is the varint of the last
+            # absolute doc id (== encode_gaps of a 1-element array)
+            last_ids = ds64[rbounds[1:] - 1]
+            last_stream, last_offs = _varint_stream_with_offsets(last_ids)
+            run_max_f32 = run_max.astype(np.float32)
+
             # shard boundaries over the runs
             per_shard: dict[int, dict[str, list]] = {}
             for ri in range(len(rstarts)):
@@ -271,31 +305,33 @@ class _GroupMergeWorker:
                 sh = int(shards_s[lo])
                 if self._shard_done(sh):
                     continue
-                ids = docs_s[lo:hi]
-                t_tfs = tfs_s[lo:hi]
-                imp = impacts[lo:hi]
                 n = hi - lo
-                nblocks = (n + seg.BLOCK_SIZE - 1) // seg.BLOCK_SIZE
-                ends = np.minimum(
-                    np.arange(1, nblocks + 1) * seg.BLOCK_SIZE, n)
                 r = per_shard.setdefault(sh, {
                     "term": [], "df": [], "cf": [], "doc_gaps": [],
                     "tfs": [], "pos_gaps": [], "block_last_doc": [],
                     "block_max_impact": []})
                 r["term"].append(vocab[codes[lo]])
                 r["df"].append(n)
-                r["cf"].append(int(t_tfs.sum()))
-                r["doc_gaps"].append(
-                    varint.encode_gaps(ids.astype(np.uint64)))
-                r["tfs"].append(
-                    varint.encode_u64_stream(t_tfs.astype(np.uint64)))
+                r["cf"].append(int(run_cf[ri]))
+                r["doc_gaps"].append(doc_stream[doc_offs[lo]:doc_offs[hi]])
+                r["tfs"].append(tf_stream[tf_offs[lo]:tf_offs[hi]])
                 r["pos_gaps"].append(
-                    b"".join(pos_col[order[j]] for j in range(lo, hi)))
-                r["block_last_doc"].append(
-                    varint.encode_gaps(ids[ends - 1].astype(np.uint64)))
-                r["block_max_impact"].append(np.maximum.reduceat(
-                    imp, np.arange(0, n, seg.BLOCK_SIZE)
-                ).astype(np.float32).tobytes())
+                    pos_data[pos_offs[lo]:pos_offs[hi]].tobytes())
+                if n <= seg.BLOCK_SIZE:
+                    r["block_last_doc"].append(
+                        last_stream[last_offs[ri]:last_offs[ri + 1]])
+                    r["block_max_impact"].append(run_max_f32[ri].tobytes())
+                else:
+                    ids = docs_s[lo:hi]
+                    imp = impacts[lo:hi]
+                    nblocks = (n + seg.BLOCK_SIZE - 1) // seg.BLOCK_SIZE
+                    ends = np.minimum(
+                        np.arange(1, nblocks + 1) * seg.BLOCK_SIZE, n)
+                    r["block_last_doc"].append(
+                        varint.encode_gaps(ids[ends - 1].astype(np.uint64)))
+                    r["block_max_impact"].append(np.maximum.reduceat(
+                        imp, np.arange(0, n, seg.BLOCK_SIZE)
+                    ).astype(np.float32).tobytes())
 
             for sh, r in per_shard.items():
                 # rows arrive sorted by term code; re-sort by term string
