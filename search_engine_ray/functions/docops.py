@@ -113,9 +113,10 @@ SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents ORDER BY doc_id
 
 
 # BPE-ish pre-tokenizer: alnum runs OR single non-alnum-non-space marks —
-# the GPT-2-style "word or punctuation" split, restricted to ASCII
-# classes so Python re and DuckDB RE2 agree byte-for-byte
-_BPE_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+# the GPT-2-style "word or punctuation" split.  ASCII-only classes
+# spelled out explicitly (no \s, no lower()) so Python re and DuckDB RE2
+# agree byte-for-byte even on non-ASCII whitespace / case-mapped text.
+_BPE_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\r\f\v]"
 
 
 def token_count_bpe(sf_dir: str):
@@ -124,7 +125,7 @@ def token_count_bpe(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def count(b: pd.DataFrame) -> pd.DataFrame:
-        n = b["text"].str.lower().str.count(_BPE_RE).astype("int64")
+        n = b["text"].str.count(_BPE_RE).astype("int64")
         return pd.DataFrame({"doc_id": b["doc_id"], "n_tokens_bpe": n})
 
     return ds.map_batches(count, batch_format="pandas")
@@ -132,7 +133,7 @@ def token_count_bpe(sf_dir: str):
 
 SQL["token_count_bpe"] = rf"""
 SELECT doc_id,
-       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_tokens_bpe
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_tokens_bpe
 FROM documents ORDER BY doc_id
 """
 
@@ -151,19 +152,22 @@ SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
 # ---------------------------------------------------------------------------
 def _term_partials(b: pd.DataFrame) -> pd.DataFrame:
     """Per-batch partial (term, partial_df, partial_cf) — the combiner that
-    keeps the term shuffle small."""
-    from collections import Counter
-    df_c: Counter = Counter()
-    cf_c: Counter = Counter()
-    for text in b["text"]:
-        toks = text.lower().split()
-        cf_c.update(toks)
-        df_c.update(set(toks))
-    terms = sorted(df_c)
+    keeps the term shuffle small.  Vectorized: cf via value_counts over the
+    flattened token array, df via (row, token) drop_duplicates."""
+    toks = b["text"].str.lower().str.split()
+    lens = toks.str.len().to_numpy(dtype=np.int64) if len(toks) else \
+        np.empty(0, np.int64)
+    flat = (np.concatenate(toks.values) if len(toks) and lens.sum()
+            else np.array([], dtype=object))
+    cf = pd.Series(flat, dtype=object).value_counts()
+    rows = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    df = (pd.DataFrame({"r": rows, "t": flat}).drop_duplicates()["t"]
+          .value_counts())
     return pd.DataFrame({
-        "term": terms,
-        "partial_df": [df_c[t] for t in terms],
-        "partial_cf": [cf_c[t] for t in terms],
+        "term": pd.Series(cf.index, dtype=object),
+        "partial_df": df.reindex(cf.index).to_numpy(dtype=np.int64,
+                                                    na_value=0),
+        "partial_cf": cf.to_numpy(dtype=np.int64),
     })
 
 

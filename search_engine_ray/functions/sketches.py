@@ -1,22 +1,31 @@
 """Sketch-guided exact heavy hitters over the documents table.
 
-``top_terms``: per-batch Misra-Gries summaries find the candidate set
-(a term with global count > N/capacity must survive in at least one
-batch's summary — pigeonhole over batches), then ONE exact recount pass
-restricted to the broadcast candidate set makes the final counts exact,
-so the result hashes against a plain SQL GROUP BY oracle. The sketch
-bounds the shuffle to |candidates| rows per batch instead of the full
-vocabulary; the recount groupby is over ≤ capacity × n_batches rows.
+``top_terms``: per-batch Misra-Gries summaries find the candidate set,
+then ONE exact recount pass restricted to the candidate set makes the
+final counts exact, so the result hashes against a plain SQL GROUP BY
+oracle.
 
-Exactness guard: the top-k is provably exact iff the k-th count exceeds
-N/capacity (every possible missing term is below that bound); the
-operator asserts this at runtime and raises with a "grow capacity"
-message otherwise — no silent approximation.
+Scale design (round-3): the per-batch summaries are MERGED DISTRIBUTED
+via the mergeable-summaries property of Misra-Gries (Agarwal et al.,
+"Mergeable Summaries", PODS'12): summing MG counters and subtracting the
+(capacity+1)-th largest value yields an MG summary of the concatenated
+stream with the same N/(capacity+1) error bound.  The merge is a Ray
+``groupby(term).sum`` + distributed ``sort().limit(capacity+1)``, so the
+driver sees at most capacity+1 candidate rows — NOT capacity x n_batches
+as in the round-2 version.
+
+Per-batch summaries are themselves exact batch counts truncated to
+capacity (the tightest possible MG summary), computed with vectorized
+pandas ``value_counts`` — no per-token Python loop.
+
+Exactness guard: if no truncation happened at any level the candidate
+set is the full vocabulary and the result is exact regardless of k.
+Otherwise the top-k is provably exact iff the k-th count exceeds
+N/(capacity+1); the operator raises with a "grow capacity" message
+otherwise — no silent approximation.
 """
 
 from __future__ import annotations
-
-from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -28,21 +37,36 @@ from ray.data.aggregate import Sum
 from ..pipelines.datasets import read_table
 
 
-def _misra_gries(tokens, capacity: int) -> Counter:
-    """Classic MG summary: at most ``capacity`` counters."""
-    c: Counter = Counter()
-    for t in tokens:
-        if t in c:
-            c[t] += 1
-        elif len(c) < capacity:
-            c[t] = 1
-        else:
-            dead = [k for k in c if c[k] == 1]
-            for k in c:
-                c[k] -= 1
-            for k in dead:
-                del c[k]
-    return c
+def _mg_truncate(counts: pd.Series, capacity: int) -> tuple[pd.Series, bool]:
+    """Truncate exact (or merged-MG) counts to an MG summary of at most
+    ``capacity`` counters.  Returns (summary, truncated?)."""
+    if len(counts) <= capacity:
+        return counts, False
+    counts = counts.sort_values(ascending=False)
+    thresh = int(counts.iloc[capacity])
+    kept = (counts - thresh).iloc[:capacity]
+    return kept[kept > 0], True
+
+
+def _batch_summary(b: pd.DataFrame, capacity: int) -> pd.DataFrame:
+    toks = b["text"].str.strip().str.lower().str.split()
+    flat = np.concatenate(toks.values) if len(toks) else np.array([], object)
+    n_tok = int(flat.size)
+    counts = pd.Series(flat, dtype=object).value_counts()
+    mg, truncated = _mg_truncate(counts, capacity)
+    out = pd.DataFrame({
+        "term": mg.index.astype(object),
+        "c": mg.values.astype(np.int64),
+        "n_tok": np.zeros(len(mg), dtype=np.int64),
+        "trunc": np.zeros(len(mg), dtype=np.int64),
+    })
+    # Sentinel row carries the batch token count and truncation flag
+    # independently of the summary size (an empty summary still counts).
+    sentinel = pd.DataFrame({
+        "term": pd.Series([""], dtype=object), "c": [np.int64(0)],
+        "n_tok": [np.int64(n_tok)], "trunc": [np.int64(truncated)],
+    })
+    return pd.concat([out, sentinel], ignore_index=True)
 
 
 def top_terms(sf_dir: str, k: int = 25, capacity: int = 512):
@@ -50,33 +74,36 @@ def top_terms(sf_dir: str, k: int = 25, capacity: int = 512):
     Returns (term, n) sorted by n desc, term asc."""
     docs = read_table(sf_dir, "documents", columns=["text"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        toks = []
-        for t in b["text"]:
-            toks.extend(t.strip().lower().split())
-        mg = _misra_gries(toks, capacity)
-        return pd.DataFrame({
-            "term": pd.Series(list(mg.keys()), dtype=object),
-            "n_tok": pd.Series([len(toks)], dtype=np.int64).reindex(
-                range(len(mg)), fill_value=0),
-        })
+    parts = docs.map_batches(
+        lambda b: _batch_summary(b, capacity), batch_format="pandas",
+    ).materialize()
 
-    parts = docs.map_batches(partial, batch_format="pandas")
-    rows = parts.to_pandas()
-    candidates = frozenset(rows["term"])
-    total_n = int(rows["n_tok"].sum())
+    total_n = int(parts.sum("n_tok") or 0)
+    truncated_any = bool(parts.sum("trunc") or 0)
+
+    # Distributed MG merge: groupby-sum then keep the top capacity+1
+    # merged counters; candidates are those strictly above the
+    # (capacity+1)-th value (the proper MG merge threshold).
+    merged = (parts.filter(expr="c > 0")
+              .groupby("term").aggregate(Sum("c", alias_name="c"))
+              .sort("c", descending=True).limit(capacity + 1).to_pandas())
+    if len(merged) > capacity:
+        thresh = int(merged["c"].iloc[capacity])
+        merged = merged[merged["c"] > thresh]
+        truncated_any = True
+    candidates = frozenset(merged["term"])
     cand_ref = ray.put(candidates)
 
     def recount(b: pd.DataFrame) -> pd.DataFrame:
         cand = ray.get(cand_ref)
-        c: Counter = Counter()
-        for t in b["text"]:
-            for w in t.strip().lower().split():
-                if w in cand:
-                    c[w] += 1
+        toks = b["text"].str.strip().str.lower().str.split()
+        flat = np.concatenate(toks.values) if len(toks) else np.array([], object)
+        s = pd.Series(flat, dtype=object)
+        s = s[s.isin(cand)]
+        c = s.value_counts()
         return pd.DataFrame({
-            "term": pd.Series(list(c.keys()), dtype=object),
-            "n": pd.Series(list(c.values()), dtype=np.int64),
+            "term": c.index.astype(object),
+            "n": c.values.astype(np.int64),
         })
 
     counts = (docs.map_batches(recount, batch_format="pandas")
@@ -84,16 +111,17 @@ def top_terms(sf_dir: str, k: int = 25, capacity: int = 512):
               .to_pandas())
     counts = counts.sort_values(["n", "term"],
                                 ascending=[False, True]).head(k)
-    floor_bound = total_n // capacity
-    if len(counts) < k and floor_bound > 0:
-        raise ValueError(
-            f"top-{k} not provably exact: only {len(counts)} candidates "
-            f"survived the sketch; grow capacity")
-    kth = int(counts["n"].iloc[-1]) if len(counts) >= k else 0
-    if len(counts) >= k and kth <= floor_bound:
-        raise ValueError(
-            f"top-{k} not provably exact: kth count {kth} ≤ "
-            f"N/capacity {floor_bound}; grow capacity")
+    if truncated_any:
+        floor_bound = total_n // (capacity + 1)
+        if len(counts) < k:
+            raise ValueError(
+                f"top-{k} not provably exact: only {len(counts)} candidates "
+                f"survived the sketch; grow capacity")
+        kth = int(counts["n"].iloc[-1])
+        if kth <= floor_bound:
+            raise ValueError(
+                f"top-{k} not provably exact: kth count {kth} <= "
+                f"N/(capacity+1) {floor_bound}; grow capacity")
     return pa.table({
         "term": pa.array(counts["term"].tolist(), pa.string()),
         "n": pa.array(counts["n"].astype("int64").tolist(), pa.int64()),

@@ -248,11 +248,15 @@ class _GroupMergeWorker:
             order = np.lexsort((docs, codes, shards))
             # reorder the pos binary column ONCE; per-run blobs are then
             # contiguous (offset, data) buffer slices — no python bytes
-            pos_sorted = part.column("pos").combine_chunks().take(
+            # large_binary (int64 offsets) so a merge group whose
+            # concatenated position data exceeds 2 GiB doesn't raise
+            # ArrowCapacityError on combine_chunks
+            pos_sorted = part.column("pos").cast(
+                pa.large_binary()).combine_chunks().take(
                 pa.array(order.astype(np.int64)))
             assert pos_sorted.offset == 0
             pos_offs = np.frombuffer(pos_sorted.buffers()[1],
-                                     dtype=np.int32)[:len(order) + 1]
+                                     dtype=np.int64)[:len(order) + 1]
             _pd_buf = pos_sorted.buffers()[2]
             pos_data = (np.frombuffer(_pd_buf, dtype=np.uint8)
                         if _pd_buf is not None
