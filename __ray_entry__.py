@@ -169,8 +169,12 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk"] = ann.SQL_ANN_TOPK
     from search_engine_ray.functions.sessions import SQL_SESSIONIZE
     out["events_sessionize"] = SQL_SESSIONIZE
-    from search_engine_ray.functions.textstats import SQL_GOPHER_QUALITY
+    from search_engine_ray.functions.textstats import (SQL_GOPHER_QUALITY,
+                                                       SQL_LANG_ID,
+                                                       SQL_QUALITY_SCORE)
     out["gopher_quality"] = SQL_GOPHER_QUALITY
+    out["lang_id"] = SQL_LANG_ID
+    out["quality_score"] = SQL_QUALITY_SCORE
     from search_engine_ray.functions.sketches import SQL_TOP_TERMS
     out["top_terms_sketch"] = SQL_TOP_TERMS
     # link_edges: the synthesized page template embeds exactly one anchor

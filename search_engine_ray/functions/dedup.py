@@ -30,21 +30,33 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..kernels.textutils import fnv1a_64
+import ray
+
+from ..kernels.shingles import (avalanche64, binary_column_from_ragged,
+                                fixed_binary_matrix, shingle_hash_batch,
+                                tokenize_hash_batch, unique_per_segment,
+                                POS_MULT)
 from ..pipelines.datasets import read_table
 
 MERSENNE = (1 << 61) - 1
 
 
+def _pool_size() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster (round-2 review:
+    a fixed concurrency=2 starved the signature stage 16× at 32 CPUs)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(2, cpus))
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    toks = text.lower().split()
-    if len(toks) < k:
-        joined = " ".join(toks)
-        return np.asarray([fnv1a_64(joined.encode())], dtype=np.uint64)
-    out = np.empty(len(toks) - k + 1, dtype=np.uint64)
-    for i in range(len(toks) - k + 1):
-        out[i] = fnv1a_64(" ".join(toks[i:i + k]).encode())
-    return out
+    """Scalar wrapper over the vectorized batch kernel (kept for tests /
+    brute-force oracles — identical values to the batch path)."""
+    th, tc = tokenize_hash_batch(pa.array([text], pa.string()))
+    sh, _ = shingle_hash_batch(th, tc, k)
+    return sh
 
 
 def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -54,21 +66,24 @@ def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signature(shingles: np.ndarray, a: np.ndarray,
-                      b: np.ndarray) -> np.ndarray:
-    """64-perm minhash: min over a fixed multiply-add hash family (uint64
-    wraparound mixing), vectorized two-halves to keep low-bit entropy."""
-    x = shingles.astype(np.uint64)
-    lo = x & np.uint64(0xFFFFFFFF)
-    hi = x >> np.uint64(32)
-    sigs = np.empty(len(a), dtype=np.uint64)
+def _minhash_sigs_ragged(vals: np.ndarray, counts: np.ndarray,
+                         a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_docs, n_perm) minhash matrix over a ragged shingle-hash array:
+    one multiply-add pass + segmented min (np.minimum.reduceat) per perm —
+    no per-doc Python. Every doc must have ≥ 1 shingle."""
+    n = len(counts)
+    if n == 0:
+        return np.empty((0, len(a)), dtype=np.uint64)
+    lo = vals & np.uint64(0xFFFFFFFF)
+    hi = vals >> np.uint64(32)
+    bounds = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    sigs = np.empty((n, len(a)), dtype=np.uint64)
     for i in range(len(a)):
-        ai, bi = a[i], b[i]
-        # (ai * x + bi) mod M using uint64 wrap as the mixing function —
-        # not a true mod-M permutation, but a fixed deterministic hash
-        # family is all minhash needs
-        v = (ai * lo + (ai * hi << np.uint64(32)) + bi)
-        sigs[i] = v.min()
+        # (ai * x + bi) with uint64 wrap as the mixing function — not a
+        # true mod-M permutation, but a fixed deterministic hash family
+        # is all minhash needs
+        v = a[i] * lo + ((a[i] * hi) << np.uint64(32)) + b[i]
+        sigs[:, i] = np.minimum.reduceat(v, bounds)
     return sigs
 
 
@@ -80,22 +95,22 @@ class MinHasher:
 
     def __init__(self, n_perm: int = 64, shingle_k: int = 3, seed: int = 42):
         self.a, self.b = _perm_params(n_perm, seed)
+        self.n_perm = n_perm
         self.k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        sigs, shingle_sets = [], []
-        for t in texts:
-            sh = _shingle_hashes(t, self.k)
-            sigs.append(minhash_signature(sh, self.a, self.b).tobytes())
-            # binary (not list<uint64>): Acero hash joins reject list
-            # payload columns, and raw bytes round-trip via np.frombuffer
-            shingle_sets.append(np.unique(sh).tobytes())
+        th, tc = tokenize_hash_batch(batch.column("text"))
+        sh, sc = shingle_hash_batch(th, tc, self.k)
+        vu, cu = unique_per_segment(sh, sc)
+        sigs = _minhash_sigs_ragged(vu, cu, self.a, self.b)
+        # binary (not list<uint64>): Acero hash joins reject list
+        # payload columns, and raw bytes round-trip via np.frombuffer
         return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "sig": pa.array(sigs, pa.binary()),
-            "shingles": pa.array(shingle_sets, pa.binary()),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "sig": binary_column_from_ragged(
+                sigs.reshape(-1),
+                np.full(len(cu), self.n_perm, dtype=np.int64)),
+            "shingles": binary_column_from_ragged(vu, cu),
         })
 
 
@@ -106,31 +121,32 @@ class Shingler:
         self.k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        sets_ = [np.unique(_shingle_hashes(t, self.k)).tobytes()
-                 for t in texts]
+        th, tc = tokenize_hash_batch(batch.column("text"))
+        sh, sc = shingle_hash_batch(th, tc, self.k)
+        vu, cu = unique_per_segment(sh, sc)
         return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "shingles": pa.array(sets_, pa.binary()),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "shingles": binary_column_from_ragged(vu, cu),
         })
 
 
 def _band_rows(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
-    doc_ids = batch.column("doc_id").to_pylist()
-    sigs = batch.column("sig").to_pylist()
-    o_band, o_hash, o_doc = [], [], []
-    for did, sig in zip(doc_ids, sigs):
-        arr = np.frombuffer(sig, dtype=np.uint64)
-        for band in range(n_bands):
-            chunk = arr[band * rows_per_band:(band + 1) * rows_per_band]
-            o_band.append(band)
-            o_hash.append(fnv1a_64(chunk.tobytes()) >> 1)
-            o_doc.append(did)
+    """Banded LSH keys, vectorized: the signature matrix is viewed
+    (n, n_bands, rows_per_band) and each band mixed with positional
+    multipliers + avalanche — one vector pass, no per-doc loop."""
+    ids = batch.column("doc_id").to_numpy()
+    n = len(ids)
+    mat = fixed_binary_matrix(batch.column("sig"), 8,
+                              n_bands * rows_per_band)
+    bands = mat.reshape(n, n_bands, rows_per_band)
+    mixed = bands[:, :, 0] * POS_MULT[0]
+    for j in range(1, rows_per_band):
+        mixed = mixed ^ (bands[:, :, j] * POS_MULT[j % len(POS_MULT)])
+    keys = (avalanche64(mixed.reshape(-1)) >> np.uint64(1)).astype(np.int64)
     return pa.table({
-        "band": pa.array(o_band, pa.int32()),
-        "band_hash": pa.array(o_hash, pa.int64()),
-        "doc_id": pa.array(o_doc, pa.int64()),
+        "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+        "band_hash": pa.array(keys, pa.int64()),
+        "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
     })
 
 
@@ -138,15 +154,28 @@ _EMPTY_PAIRS = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                              "doc_b": pd.Series([], dtype=np.int64)})
 
 
-def _candidate_pairs(grp: pd.DataFrame) -> pd.DataFrame:
-    if len(grp) < 2:
+# above this bucket size, all-pairs expansion is replaced by a star on
+# the smallest doc id: a degenerate band bucket (boilerplate-heavy
+# corpora put thousands of near-identical docs in one bucket) would emit
+# O(B²) pairs from a single group task. The star emits O(B) pairs that
+# still connect the whole duplicate component (every member is verified
+# against the representative by the exact-Jaccard join downstream); only
+# the exhaustive pair ENUMERATION inside the cluster is dropped.
+MAX_BUCKET_ALL_PAIRS = 512
+
+
+def _candidate_pairs(grp: pd.DataFrame,
+                     max_bucket: int = MAX_BUCKET_ALL_PAIRS) -> pd.DataFrame:
+    m = len(grp)
+    if m < 2:
         return _EMPTY_PAIRS
-    ids = sorted(grp["doc_id"].tolist())
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    ids = np.sort(grp["doc_id"].to_numpy())
+    if m > max_bucket:
+        a = np.full(m - 1, ids[0], dtype=np.int64)
+        b = ids[1:]
+    else:
+        iu, ju = np.triu_indices(m, 1)
+        a, b = ids[iu], ids[ju]
     return pd.DataFrame({"doc_a": pd.Series(a, dtype=np.int64),
                          "doc_b": pd.Series(b, dtype=np.int64)})
 
@@ -235,8 +264,11 @@ def minhash_dedup(sf_dir: str, threshold_bp: int = 7000,
     # the verify-join branch consume sigs; without this Ray re-executes
     # the (expensive) shingle+minhash pass once per branch. Bounded by
     # ~corpus size in the object store, which spills to disk.
-    sigs = docs.map_batches(MinHasher, batch_format="pyarrow",
-                            concurrency=2, batch_size=1024).materialize()
+    sigs = docs.map_batches(MinHasher,
+                            fn_constructor_kwargs={"n_perm": n_perm},
+                            batch_format="pyarrow",
+                            concurrency=_pool_size(),
+                            batch_size=1024).materialize()
     bands = sigs.select_columns(["doc_id", "sig"]).map_batches(
         lambda b: _band_rows(b, n_bands, rows_per_band),
         batch_format="pyarrow")
@@ -251,24 +283,30 @@ def minhash_dedup(sf_dir: str, threshold_bp: int = 7000,
 
 # ---------------------------------------------------------------------------
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """64-bit SimHash per doc over unigram token hashes."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for i, text in enumerate(texts):
-        toks = text.lower().split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = np.fromiter((fnv1a_64(t.encode()) for t in set(toks)),
-                         dtype=np.uint64)
-        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        out[i] = np.uint64(((acc > 0).astype(np.uint64)
-                            << shifts).sum(dtype=np.uint64))
+    """64-bit SimHash per doc over unique unigram token hashes,
+    vectorized: one Arrow tokenize+hash pass for the whole batch, then
+    per-bit segmented sums (np.add.reduceat over the flat unique-token
+    array) — no per-doc or per-token Python."""
+    n = batch.num_rows
+    th, tc = tokenize_hash_batch(batch.column("text"))
+    hu, cu = unique_per_segment(th, tc)
+    out = np.zeros(n, dtype=np.uint64)
+    nonzero = cu > 0
+    if nonzero.any():
+        bounds = np.concatenate(([0], np.cumsum(cu)))[:-1][nonzero]
+        byte_mat = hu.view(np.uint8).reshape(-1, 8)
+        acc = np.empty((int(nonzero.sum()), 64), dtype=np.int64)
+        for byte_i in range(8):  # 8 bytes × 8 bits, memory-bounded
+            bits = np.unpackbits(byte_mat[:, byte_i:byte_i + 1], axis=1,
+                                 bitorder="little").astype(np.int64)
+            acc[:, byte_i * 8:(byte_i + 1) * 8] = np.add.reduceat(
+                2 * bits - 1, bounds, axis=0)
+        sig = ((acc > 0).astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)).sum(axis=1,
+                                                      dtype=np.uint64)
+        out[nonzero] = sig
     return pa.table({
-        "doc_id": pa.array(doc_ids, pa.int64()),
+        "doc_id": batch.column("doc_id").cast(pa.int64()),
         "simhash": pa.array(out.view(np.int64), pa.int64()),
     })
 
@@ -424,8 +462,9 @@ def embedding_neardup(sf_dir: str, threshold_bp: int = 9500,
     vector lands in exactly one bucket, so pairs are already distinct."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     keyed = ds.map_batches(
-        HyperplaneBucketer(n_planes=n_planes, seed=seed),
-        batch_format="pyarrow", batch_size=2048, concurrency=2)
+        HyperplaneBucketer,
+        fn_constructor_kwargs={"n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow", batch_size=2048, concurrency=_pool_size())
     pairs = (keyed.groupby("bucket")
              .map_groups(lambda g: _cos_pairs_group(g, threshold_bp),
                          batch_format="pandas"))

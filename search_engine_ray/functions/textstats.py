@@ -9,10 +9,31 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+from ..kernels.shingles import (shingle_hash_batch, sliding_min_per_segment,
+                                tokenize_hash_batch, unique_per_segment)
 from ..kernels.stemmer import STOPWORDS
-from ..kernels.textutils import fnv1a_64
 from ..pipelines.datasets import read_table
+
+
+def _tokens_per_doc(texts: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """(flat lowercased tokens, per-doc counts) with Python
+    str.lower().split() semantics (empty edge tokens dropped)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    if len(nonempty) and not nonempty.all():
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        flat = flat.filter(pa.array(nonempty))
+        counts = np.bincount(doc_of[nonempty], minlength=n).astype(np.int64)
+    return flat, counts
 
 # language marker profiles: high-frequency function words per language
 _LANG_MARKERS = {
@@ -44,75 +65,163 @@ def detect_lang(text: str) -> str:
     return best_lang
 
 
+_LANG_ORDER = list(_LANG_MARKERS)  # en, de, fr, es — tie-break priority
+
+
 def lang_id(sf_dir: str):
-    """Predicted language per document."""
+    """Predicted language per document, vectorized: one Arrow tokenize
+    pass, one is_in membership pass per language profile, segmented
+    counts — no per-doc Python. Oracle-checkable (SQL_LANG_ID)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": b["doc_id"],
-            "lang_pred": [detect_lang(t) for t in b["text"]],
-        })
+        texts = pa.array(b["text"], pa.string())
+        n = len(texts)
+        flat, counts = _tokens_per_doc(texts)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        scores = np.zeros((len(_LANG_ORDER), n), dtype=np.int64)
+        for li, lang in enumerate(_LANG_ORDER):
+            hits = pc.is_in(flat, value_set=pa.array(
+                sorted(_LANG_MARKERS[lang]))).to_numpy(
+                zero_copy_only=False)
+            scores[li] = np.bincount(doc_of[hits], minlength=n)
+        # first language with the (strictly positive) max — argmax's
+        # first-tie rule matches the scalar strictly-greater scan
+        best = np.argmax(scores, axis=0)
+        has_any = scores.max(axis=0) > 0
+        cjk = pc.match_substring_regex(
+            pc.utf8_slice_codeunits(texts, 0, 500),
+            "[一-鿿]").to_numpy(zero_copy_only=False)
+        langs = np.asarray(_LANG_ORDER, dtype=object)[best]
+        langs[~has_any] = "und"
+        langs[cjk] = "zh"
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "lang_pred": langs})
 
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _markers_sql(lang: str) -> str:
+    return "[" + ",".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])) \
+        + "]"
+
+
+SQL_LANG_ID = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w <> '') AS toks,
+         regexp_matches(substring(text, 1, 500), '[一-鿿]') AS cjk
+  FROM documents
+), s AS (
+  SELECT doc_id, cjk,
+    len(list_filter(toks, w -> list_contains({_markers_sql('en')}, w))) AS s_en,
+    len(list_filter(toks, w -> list_contains({_markers_sql('de')}, w))) AS s_de,
+    len(list_filter(toks, w -> list_contains({_markers_sql('fr')}, w))) AS s_fr,
+    len(list_filter(toks, w -> list_contains({_markers_sql('es')}, w))) AS s_es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN cjk THEN 'zh'
+       WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
-def quality_features(text: str) -> tuple[int, int, int, int, int]:
-    toks = text.split()
-    n = len(toks)
-    n_chars = len(text)
-    n_stop = sum(1 for t in toks if t.lower() in STOPWORDS)
-    n_alpha = sum(1 for ch in text if ch.isalpha())
-    n_punct = sum(1 for ch in text if ch in ".,;:!?\"'()[]{}")
-    return n, n_chars, n_stop, n_alpha, n_punct
+_PUNCT_RE = r"""[.,;:!?"'()\[\]{}]"""
+_ALPHA_RE = r"[A-Za-z]"  # ASCII on both sides (RE2 classes are ASCII)
 
 
 def quality_score(sf_dir: str):
-    """Composite quality score in basis points (integer, deterministic):
-    blends length fit, stopword ratio, alpha ratio, punct density — the
-    standard pretraining-corpus heuristics (Gopher/C4-style rules)."""
+    """Composite quality score in basis points: blends length fit,
+    stopword ratio, alpha ratio, punct density — the standard
+    pretraining-corpus heuristics (Gopher/C4-style rules).
+
+    Pure integer arithmetic (each 0.3/0.3/0.3/0.1-weighted term is
+    floor-divided in bp space) and vectorized Arrow kernels, so the
+    result hashes exactly against the DuckDB oracle (SQL_QUALITY_SCORE).
+    """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": b["doc_id"], "quality_bp": []}
-        for t in b["text"]:
-            n, n_chars, n_stop, n_alpha, n_punct = quality_features(t)
-            if n == 0:
-                rows["quality_bp"].append(0)
-                continue
-            length_fit = min(n, 500) / 500.0
-            stop_ratio = n_stop / n
-            alpha_ratio = n_alpha / max(n_chars, 1)
-            punct_density = n_punct / max(n_chars, 1)
-            score = (0.3 * length_fit
-                     + 0.3 * min(stop_ratio * 4.0, 1.0)
-                     + 0.3 * alpha_ratio
-                     + 0.1 * (1.0 - min(punct_density * 10.0, 1.0)))
-            rows["quality_bp"].append(int(score * 10000))
-        return pd.DataFrame(rows)
+        texts = pa.array(b["text"], pa.string())
+        npa = len(texts)
+        flat, n = _tokens_per_doc(texts)
+        doc_of = np.repeat(np.arange(npa, dtype=np.int64), n)
+        stop_hits = pc.is_in(flat, value_set=pa.array(
+            sorted(STOPWORDS))).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(doc_of[stop_hits], minlength=npa)
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        n_alpha = pc.count_substring_regex(texts, _ALPHA_RE).to_numpy(
+            zero_copy_only=False)
+        n_punct = pc.count_substring_regex(texts, _PUNCT_RE).to_numpy(
+            zero_copy_only=False)
+        nc = np.maximum(n_chars, 1)
+        nz = np.maximum(n, 1)
+        bp = (3000 * np.minimum(n, 500) // 500
+              + np.minimum(12000 * n_stop // nz, 3000)
+              + 3000 * n_alpha // nc
+              + 1000 - np.minimum(10000 * n_punct // nc, 1000))
+        bp[n == 0] = 0
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "quality_bp": bp.astype(np.int64)})
 
     return ds.map_batches(fn, batch_format="pandas")
 
 
+_STOPS_SQL = "[" + ",".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+
+SQL_QUALITY_SCORE = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         len(list_filter(toks, w -> list_contains({_STOPS_SQL}, w))) AS n_stop,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           AS n_alpha,
+         length(text) - length(regexp_replace(text,
+             '[.,;:!?"''()\[\]{{}}]', '', 'g')) AS n_punct
+  FROM t
+)
+SELECT doc_id,
+  CAST(CASE WHEN n = 0 THEN 0 ELSE
+       3000 * LEAST(n, 500) // 500
+     + LEAST(12000 * n_stop // n, 3000)
+     + 3000 * n_alpha // GREATEST(n_chars, 1)
+     + 1000 - LEAST(10000 * n_punct // GREATEST(n_chars, 1), 1000)
+  END AS BIGINT) AS quality_bp
+FROM m ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
+def _winnow_batch(texts: pa.Array, k: int = 5, window: int = 4
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing (Schleimer et al. 2003) for a whole batch: k-gram
+    hashes → per-doc sliding-window minima → per-doc dedupe, all on the
+    flattened token stream (kernels/shingles.py). Returns the ragged
+    (flat fingerprints, fingerprints per doc); every doc has ≥ 1."""
+    th, tc = tokenize_hash_batch(texts)
+    kh, kc = shingle_hash_batch(th, tc, k)
+    wm, wc = sliding_min_per_segment(kh, kc, window)
+    return unique_per_segment(wm, wc)
+
+
 def _winnow_fingerprints(text: str, k: int = 5, window: int = 4
                          ) -> np.ndarray:
-    """Winnowing (Schleimer et al. 2003): k-gram rolling hashes, minimum
-    per sliding window, deduped — the standard document fingerprint."""
-    toks = text.lower().split()
-    if len(toks) < k:
-        return np.asarray([fnv1a_64(" ".join(toks).encode())],
-                          dtype=np.uint64)
-    hashes = np.fromiter(
-        (fnv1a_64(" ".join(toks[i:i + k]).encode())
-         for i in range(len(toks) - k + 1)),
-        dtype=np.uint64)
-    if len(hashes) <= window:
-        return np.unique(hashes.min(keepdims=True))
-    # sliding-window minimum via stride trick
-    sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
-    return np.unique(sw.min(axis=1))
+    """Scalar wrapper over the batch winnowing kernel (for tests)."""
+    vu, _ = _winnow_batch(pa.array([text], pa.string()), k, window)
+    return vu
 
 
 def fingerprints(sf_dir: str):
@@ -121,13 +230,14 @@ def fingerprints(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": b["doc_id"], "n_fingerprints": [], "fp_fold": []}
-        for t in b["text"]:
-            fps = _winnow_fingerprints(t)
-            rows["n_fingerprints"].append(len(fps))
-            fold = np.bitwise_xor.reduce(fps) if len(fps) else np.uint64(0)
-            rows["fp_fold"].append(int(fold >> np.uint64(1)))
-        return pd.DataFrame(rows)
+        vu, cu = _winnow_batch(pa.array(b["text"], pa.string()))
+        bounds = np.concatenate(([0], np.cumsum(cu)))[:-1]
+        fold = np.bitwise_xor.reduceat(vu, bounds)  # every cu ≥ 1
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_fingerprints": cu.astype(np.int64),
+            "fp_fold": (fold >> np.uint64(1)).astype(np.int64),
+        })
 
     return ds.map_batches(fn, batch_format="pandas")
 

@@ -118,6 +118,44 @@ def test_embedding_neardup(ray_session, sf_dir):
         seen.add((a, b))
 
 
+def test_candidate_pairs_hot_bucket_cap():
+    import pandas as pd
+
+    from search_engine_ray.functions.dedup import _candidate_pairs
+
+    small = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64)})
+    got = _candidate_pairs(small)
+    assert len(got) == 45  # all pairs below the cap
+    hot = pd.DataFrame({"doc_id": np.arange(600, dtype=np.int64)})
+    got = _candidate_pairs(hot)
+    # star on the smallest id: O(B) not O(B²)
+    assert len(got) == 599
+    assert (got["doc_a"] == 0).all()
+
+
+def test_minhash_degenerate_bucket(ray_session, tmp_path):
+    """A boilerplate cluster (3k identical docs) must not explode a
+    single LSH group task quadratically: the hot-bucket star cap emits
+    O(B) candidate pairs, all of which verify at jaccard 10000."""
+    from search_engine_ray.functions.dedup import minhash_dedup
+
+    m = 3000
+    text = " ".join(f"tok{i % 37}" for i in range(60))
+    t = pa.table({
+        "doc_id": pa.array(list(range(m)), pa.int64()),
+        "text": pa.array([text] * m, pa.string()),
+    })
+    d = tmp_path / "degenerate"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = minhash_dedup(str(d), threshold_bp=7000)
+    # every band bucket holds all m docs → every band emits the same
+    # star → distinct pairs = m-1, connecting the whole component
+    assert got.num_rows == m - 1
+    assert set(got.column("doc_a").to_pylist()) == {0}
+    assert set(got.column("jaccard_bp").to_pylist()) == {10000}
+
+
 def test_lang_id_on_real_languages(ray_session, tmp_path):
     from search_engine_ray.functions.textstats import detect_lang
 
