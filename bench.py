@@ -159,6 +159,33 @@ def run_bench() -> dict:
     results["query_throughput_qps_runs"] = [round(x, 1) for x in qps_runs]
     eng.close()
 
+    # block-max WAND vs exhaustive on a big-shard index (the scale path:
+    # at 100 TB a shard holds millions of docs; 64k-doc shards here make
+    # posting lists long enough that skipping can bite). Index cached
+    # across runs (content-keyed resume).
+    from search_engine_ray.pipelines.search import ShardIndex
+    idx_big = os.path.join(BENCH_ROOT, "index_bigshard")
+    man_big = build_index(pages_factory, idx_big, docs_per_shard=65536)
+    sh = ShardIndex(idx_big, 0)
+    avgdl_big = man_big["stats"]["avgdl"]
+    import pyarrow.parquet as _pq
+    tt = _pq.read_table(os.path.join(idx_big, "terms"),
+                        columns=["term", "df"])
+    tdf = sorted(zip(tt.column("term").to_pylist(),
+                     tt.column("df").to_pylist()), key=lambda x: -x[1])
+    freq_terms = [(t, 1.7) for t, _ in tdf[:1]]
+    sh.lookup(freq_terms[0][0])  # warm decode (both paths share it)
+    for label, fn in (("wand", sh.wand_topk), ("exhaustive",
+                                               sh.exhaustive_topk)):
+        t0 = time.time()
+        for _ in range(20):
+            fn(freq_terms, 10, avgdl_big)
+        results[f"freq_term_{label}_ms"] = round(
+            (time.time() - t0) / 20 * 1000, 3)
+    results["wand_speedup"] = round(
+        results["freq_term_exhaustive_ms"]
+        / max(results["freq_term_wand_ms"], 1e-9), 2)
+
     # auxiliary operators at the sf dir (documents table scale)
     from search_engine_ray.functions import ann, docops
 

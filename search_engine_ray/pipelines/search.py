@@ -135,6 +135,25 @@ def pure_disjunction_terms(node, idf: dict[str, float],
 _EMPTY = np.empty(0, dtype=np.int64)
 
 
+def _topk_tie_aware(docs: np.ndarray, scores: np.ndarray, k: int
+                    ) -> np.ndarray:
+    """Indices of the lexicographic (-score, doc_id) top-k in O(n):
+    argpartition picks strict winners, boundary ties fill with the
+    smallest doc_ids, final order by (-score, doc_id)."""
+    n = len(docs)
+    if n > k:
+        kth = -np.partition(-scores, k - 1)[k - 1]
+        win = np.nonzero(scores > kth)[0]
+        tie = np.nonzero(scores == kth)[0]
+        need = k - len(win)
+        if need > 0 and len(tie) > need:
+            tie = tie[np.argpartition(docs[tie], need - 1)[:need]]
+        top = np.concatenate([win, tie[:max(need, 0)]])
+    else:
+        top = np.arange(n)
+    return top[np.lexsort((docs[top], -scores[top]))][:k]
+
+
 class ShardIndex:
     """One document shard: lazy-decoded posting lists + doc attributes.
 
@@ -302,123 +321,165 @@ class ShardIndex:
             return _EMPTY
         return cand[np.unique(keys >> np.int64(32))]
 
-    # -- block-max WAND (pure-disjunction top-k, the scale path) ------------
+    def exhaustive_topk(self, weighted_terms: list[tuple[str, float]],
+                        k: int, avgdl: float) -> list[tuple[float, int]]:
+        """Vectorized exhaustive union-scorer for a weighted term list —
+        the no-skip baseline wand_topk is measured against (bench) and
+        must match exactly (tests)."""
+        tws = [(tp, w) for tp, w in
+               ((self.lookup(t), w) for t, w in weighted_terms)
+               if tp is not None and w > 0 and len(tp.doc_ids)]
+        if not tws:
+            return []
+        cand = np.unique(np.concatenate([tp.doc_ids for tp, _ in tws]))
+        dls = self.doc_dl(cand)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for tp, w in tws:
+            pos = np.searchsorted(tp.doc_ids, cand)
+            np.clip(pos, 0, len(tp.doc_ids) - 1, out=pos)
+            hit = tp.doc_ids[pos] == cand
+            scores[hit] += w * seg.bm25_impact(tp.tfs[pos[hit]],
+                                               dls[hit], avgdl)
+        order = _topk_tie_aware(cand, scores, k)
+        return [(float(scores[i]), int(cand[i])) for i in order]
+
+    # -- vectorized block-max WAND (pure-disjunction top-k, scale path) -----
+    _WAND_BATCH = 32  # intervals scored per vector pass
+
     def wand_topk(self, weighted_terms: list[tuple[str, float]], k: int,
                   avgdl: float) -> list[tuple[float, int]]:
-        """Block-max WAND (Broder et al. 2003 / Ding & Suel 2011) over this
-        shard: per-term cursors with per-128-doc block max impacts skip
-        documents that cannot enter the current top-k. Returns (score,
-        doc_id) descending; exact same scores as exhaustive evaluation."""
-        import heapq
+        """Vectorized block-max WAND (skip idea of Broder'03 / Ding &
+        Suel'11; the reference's analogue is the posting skip table,
+        Posts.hpp:353-369), reformulated block-at-a-time so every step is
+        a numpy kernel instead of a per-doc cursor loop:
 
-        cursors = []
+        1. Overlay all terms' 128-doc block boundaries into ELEMENTARY
+           INTERVALS of the doc-id axis; each interval's upper bound is
+           the sum of the covering blocks' max impacts (one sort +
+           cumsum over ≤ 2·Σblocks boundary events).
+        2. Visit intervals best-bound-first in batches; score each
+           batch's docs with the same vectorized BM25 kernel as the
+           exhaustive path (ragged searchsorted gather per term).
+        3. Stop when the next interval's bound is strictly below the
+           current k-th score — remaining docs can neither beat nor tie
+           it. Ties at the boundary therefore match the exhaustive
+           path's smallest-doc-id rule exactly (same float-add order,
+           same lexicographic (-score, doc_id) selection).
+        """
+        tws = []
         for term, w in weighted_terms:
             tp = self.lookup(term)
-            if tp is not None and w > 0:
-                ub = float(tp.block_max_impact.max()) * w
-                cursors.append({"tp": tp, "w": w, "i": 0, "ub": ub})
-        if not cursors:
+            if tp is not None and w > 0 and len(tp.doc_ids):
+                tws.append((tp, w))
+        if not tws:
             return []
-        INF = np.iinfo(np.int64).max
-        heap: list[tuple[float, int]] = []  # min-heap of (score, doc_id)
+        # interval overlay: +ub at block start, -ub past block end;
+        # nextafter guards the float32 round-down of the stored per-block
+        # max (a bound a hair too low could skip a genuine tie)
+        xs, deltas = [], []
+        for tp, w in tws:
+            ub = np.nextafter(
+                tp.block_max_impact.astype(np.float64), np.inf) * w
+            lasts = tp.block_last_doc
+            starts = np.empty_like(lasts)
+            starts[0] = tp.doc_ids[0]
+            starts[1:] = lasts[:-1] + 1
+            xs.append(starts)
+            deltas.append(ub)
+            xs.append(lasts + 1)
+            deltas.append(-ub)
+        x = np.concatenate(xs)
+        d = np.concatenate(deltas)
+        ev = np.argsort(x, kind="stable")
+        env = np.cumsum(d[ev])
+        ux, first = np.unique(x[ev], return_index=True)
+        env_u = env[np.concatenate((first[1:], [len(x)])) - 1]
+        lo, hi, ub_int = ux[:-1], ux[1:], env_u[:-1]
+        live = ub_int > 0
+        lo, hi, ub_int = lo[live], hi[live], ub_int[live]
+        visit = np.argsort(-ub_int, kind="stable")
 
-        def cur_doc(c):
-            tp = c["tp"]
-            return int(tp.doc_ids[c["i"]]) if c["i"] < len(tp.doc_ids) \
-                else INF
-
-        def block_ub(c, doc):
-            tp = c["tp"]
-            b = int(np.searchsorted(tp.block_last_doc, doc))
-            if b >= len(tp.block_max_impact):
-                return 0.0
-            return float(tp.block_max_impact[b]) * c["w"]
-
-        while True:
-            cursors.sort(key=cur_doc)
-            threshold = heap[0][0] if len(heap) >= k else 0.0
-            acc = 0.0
-            pivot = -1
-            for idx, c in enumerate(cursors):
-                if cur_doc(c) == INF:
+        best_docs = np.empty(0, np.int64)
+        best_scores = np.empty(0, np.float64)
+        thresh = -np.inf
+        i = 0
+        batch = self._WAND_BATCH
+        done = False
+        while i < len(visit) and not done:
+            take = visit[i:i + batch]
+            i += len(take)
+            # geometric growth: when pruning isn't biting (flat envelope,
+            # e.g. several frequent terms over hash-uniform doc ids) the
+            # pass count stays O(log intervals), bounding the overhead vs
+            # the exhaustive scan to ~one extra partial pass
+            batch *= 4
+            if len(best_docs) >= k:
+                # keep only intervals still able to beat OR TIE the kth;
+                # everything past the cut is below it too (ub-descending)
+                cut = int(np.searchsorted(-ub_int[take], -thresh,
+                                          side="right"))
+                if cut == 0:
                     break
-                acc += c["ub"]
-                # >= : a doc whose score exactly TIES the heap minimum
-                # must be evaluated — under the (-score, doc) order a
-                # smaller doc_id wins the tie (heap replace is tie-aware)
-                if acc >= threshold:
-                    pivot = idx
-                    break
-            if pivot == -1:
-                break
-            pivot_doc = cur_doc(cursors[pivot])
-            if pivot_doc == INF:
-                break
-            # block-max refinement: tighter bound from current blocks
-            bm_acc = sum(block_ub(c, pivot_doc)
-                         for c in cursors[:pivot + 1])
-            # strict < : equality may still tie the heap minimum
-            if len(heap) >= k and bm_acc < threshold:
-                # BMW-safe skip: no doc in [pivot_doc, d_next) can beat the
-                # threshold, where d_next is the nearest block boundary of
-                # the leading cursors, capped by the next cursor's doc
-                d_next = INF
-                for c in cursors[:pivot + 1]:
-                    tp = c["tp"]
-                    b = int(np.searchsorted(tp.block_last_doc, pivot_doc))
-                    if b < len(tp.block_last_doc):
-                        d_next = min(d_next, int(tp.block_last_doc[b]) + 1)
-                if pivot + 1 < len(cursors):
-                    nxt_doc = cur_doc(cursors[pivot + 1])
-                    if nxt_doc != INF:
-                        d_next = min(d_next, nxt_doc)
-                d_next = max(d_next, pivot_doc + 1)
-                for c in cursors[:pivot + 1]:
-                    if cur_doc(c) < d_next:
-                        tp = c["tp"]
-                        c["i"] += int(np.searchsorted(
-                            tp.doc_ids[c["i"]:], d_next))
-                continue
-            if cur_doc(cursors[0]) == pivot_doc:
-                # fully evaluate pivot_doc
-                dl = float(self.doc_dl(np.asarray([pivot_doc]))[0])
-                score = 0.0
-                for c in cursors:
-                    if cur_doc(c) == pivot_doc:
-                        tp = c["tp"]
-                        tf = float(tp.tfs[c["i"]])
-                        score += c["w"] * (tf / (tf + seg.K1 * (
-                            1 - seg.B + seg.B * dl / avgdl)))
-                        c["i"] += 1
-                if len(heap) < k:
-                    heapq.heappush(heap, (score, -pivot_doc))
-                elif (score, -pivot_doc) > heap[0]:
-                    heapq.heapreplace(heap, (score, -pivot_doc))
-            else:
-                # advance the largest-ub cursor that is strictly before the
-                # pivot doc (choosing one already AT pivot_doc would make
-                # no progress → livelock)
-                behind = [c for c in cursors[:pivot + 1]
-                          if cur_doc(c) < pivot_doc]
-                lead = max(behind, key=lambda c: c["ub"])
-                tp = lead["tp"]
-                lead["i"] += int(np.searchsorted(
-                    tp.doc_ids[lead["i"]:], pivot_doc))
-        out = sorted(((s, -nd) for s, nd in heap),
-                     key=lambda x: (-x[0], x[1]))
-        return [(s, d) for s, d in out]
+                if cut < len(take):
+                    take, done = take[:cut], True
+            docs_l, imp_l = [], []
+            for tp, w in tws:
+                a = np.searchsorted(tp.doc_ids, lo[take])
+                b = np.searchsorted(tp.doc_ids, hi[take])
+                cnt = b - a
+                tot = int(cnt.sum())
+                if tot == 0:
+                    continue
+                ends = np.cumsum(cnt)
+                fi = (np.arange(tot, dtype=np.int64)
+                      - np.repeat(ends - cnt, cnt) + np.repeat(a, cnt))
+                dsub = tp.doc_ids[fi]
+                imp = w * seg.bm25_impact(tp.tfs[fi], self.doc_dl(dsub),
+                                          avgdl)
+                docs_l.append(dsub)
+                imp_l.append(imp)
+            if docs_l:
+                alldocs = np.concatenate(docs_l)
+                allimp = np.concatenate(imp_l)
+                o2 = np.argsort(alldocs, kind="stable")  # term order kept
+                sd, si = alldocs[o2], allimp[o2]
+                bnd = np.flatnonzero(
+                    np.concatenate(([True], sd[1:] != sd[:-1])))
+                docs = sd[bnd]
+                scores = np.add.reduceat(si, bnd)
+                if len(docs) > k:  # O(n) local reduce before the merge
+                    keep = _topk_tie_aware(docs, scores, k)
+                    docs, scores = docs[keep], scores[keep]
+                bd = np.concatenate((best_docs, docs))
+                bs = np.concatenate((best_scores, scores))
+                sel = np.lexsort((bd, -bs))[:k]
+                best_docs, best_scores = bd[sel], bs[sel]
+                if len(best_docs) >= k:
+                    thresh = best_scores[-1]
+        return [(float(s), int(dd))
+                for s, dd in zip(best_scores, best_docs)]
 
     # -- scoring ------------------------------------------------------------
     def score_topk(self, plan, k: int, idf: dict[str, float],
                    avgdl: float) -> list[tuple[float, int, str, str]]:
-        # pure disjunctions take the block-max WAND path (no candidate
-        # materialization; docs that cannot reach the top-k are skipped).
-        # With many cursors (large synonym expansions) the per-doc Python
-        # loop loses to the vectorized exhaustive path — cap it.
+        # pure disjunctions take the vectorized block-max WAND path (no
+        # full-candidate materialization; whole intervals that cannot
+        # reach the top-k are never decoded). Very large synonym
+        # expansions overlay too many block boundaries to pay off — cap;
+        # and below a few thousand matching postings the interval
+        # overlay costs more than just scoring everything (measured:
+        # 0.3 ms vs 0.15 ms on a 2k-doc shard, but 4.6× the other way
+        # on a 64k-doc shard), so small lookups stay exhaustive.
         wand_terms = (pure_disjunction_terms(plan, idf)
                       if self.wand_ok else None)
-        if wand_terms is not None and len(wand_terms) > 12:
+        if wand_terms is not None and len(wand_terms) > 32:
             wand_terms = None
+        if wand_terms is not None:
+            total_df = sum(tp.df for tp in
+                           (self.lookup(t) for t, _ in wand_terms)
+                           if tp is not None)
+            if total_df < 4096 * max(1, len(wand_terms)):
+                wand_terms = None
         if wand_terms is not None:
             out = []
             for score, doc_id in self.wand_topk(wand_terms, k, avgdl):
@@ -443,22 +504,10 @@ class ShardIndex:
             tfs = tp.tfs[pos[hit]]
             imp = seg.bm25_impact(tfs, dls[hit], avgdl)
             scores[hit] += (SYN_WEIGHT if is_syn else 1.0) * w * imp
-        # tie-aware O(n) top-k: argpartition alone picks an arbitrary
-        # subset among ties at the k-th boundary (diverging from WAND's
-        # tie-aware heap), a full lexsort costs O(n log n) per query —
-        # instead select strict winners, then fill the remaining slots
-        # with the smallest doc_ids among the exact boundary ties
-        if len(cand) > k:
-            kth = -np.partition(-scores, k - 1)[k - 1]
-            win = np.nonzero(scores > kth)[0]
-            tie = np.nonzero(scores == kth)[0]
-            need = k - len(win)
-            if need > 0 and len(tie) > need:
-                tie = tie[np.argpartition(cand[tie], need - 1)[:need]]
-            top = np.concatenate([win, tie[:max(need, 0)]])
-        else:
-            top = np.arange(len(cand))
-        order = top[np.lexsort((cand[top], -scores[top]))][:k]
+        # tie-aware O(n) top-k (argpartition alone picks an arbitrary
+        # subset among ties at the k-th boundary; a full lexsort costs
+        # O(n log n) per query)
+        order = _topk_tie_aware(cand, scores, k)
         out = []
         for i in order:
             url, title = self.doc_meta(int(cand[i]))
@@ -498,14 +547,14 @@ class SearchEngine:
 
     def __init__(self, index_dir: str, num_searchers: int | None = None,
                  use_synonyms: bool = True, cache_size: int = 0,
-                 use_wand: bool = False):
-        # use_wand=False by default: measured on this corpus the per-doc
-        # Python WAND constant (~9 µs) is ~200× the vectorized scorer's
-        # per-doc cost (~50 ns), so skipping can never pay for itself —
-        # a frequent single term costs 15 ms/shard via WAND vs 0.22 ms
-        # exhaustive (BENCH/BASELINE.md r2). Block-max WAND stays fully
-        # implemented + equivalence-tested (tests/test_wand.py) and wins
-        # once cursors run at C speed; opt in with use_wand=True.
+                 use_wand: bool = True):
+        # use_wand=True (round-3 default): the block-max path is now
+        # vectorized block-at-a-time (interval overlay + batched numpy
+        # scoring, see ShardIndex.wand_topk), so its per-doc constant
+        # matches the exhaustive scorer's while skipping whole 128-doc
+        # blocks that cannot reach the top-k — the round-2 per-doc
+        # Python cursor loop that lost ~200× is gone. Equivalence is
+        # pinned by tests/test_wand.py; opt out with use_wand=False.
         man = seg.read_manifest(index_dir)
         if man is None or "terms" not in man.get("stages_done", []):
             raise FileNotFoundError(f"no complete index at {index_dir}")

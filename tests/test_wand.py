@@ -144,3 +144,16 @@ def test_tied_topk_wand_equals_exhaustive(tied_shards):
         finally:
             shard.wand_ok = True
         assert [d for _, d, _, _ in got_exh] == [d for _, d in got_wand]
+
+
+def test_exhaustive_topk_method_matches(shard_indexes):
+    """ShardIndex.exhaustive_topk (the bench baseline) must agree with
+    both the dict-based reference and wand_topk."""
+    shards, avgdl = shard_indexes
+    terms = [("run", 1.7), ("child", 2.1), ("data", 1.1)]
+    for shard in shards:
+        got = shard.exhaustive_topk(terms, 10, avgdl)
+        expect = exhaustive_topk(shard, terms, 10, avgdl)
+        assert [d for _, d in got] == [d for d, _ in expect]
+        wand = shard.wand_topk(terms, 10, avgdl)
+        assert [d for _, d in wand] == [d for _, d in got]
