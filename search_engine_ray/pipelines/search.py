@@ -566,12 +566,16 @@ class SearchEngine:
                             t.column("df").to_pylist()))
         self.synsets = qc.get_default_synsets() if use_synonyms else None
         if num_searchers is None:
-            # one searcher per CPU: per-query latency is bounded by the
-            # slowest actor's SERIAL loop over its shards, so fewer
-            # shards per actor wins (measured: p50 104 → 76 ms at 3.2M
-            # docs going from cpus/2 to cpus actors)
-            num_searchers = min(num_shards, max(1, int(
-                ray.cluster_resources().get("CPU", 4))))
+            # pool size balances two costs: per-query latency is bounded
+            # by the slowest actor's SERIAL shard loop (wants more
+            # actors — measured p50 104 → 76 ms at 3.2M docs going
+            # cpus/2 → cpus), but every actor adds ~0.3 ms of driver
+            # fan-out RPC overhead (wants fewer — measured p50 19.5 →
+            # 14.7 ms at 98 shards going 32 → 16 actors). Target ≈ 8
+            # shards per actor, clamped to [cpus/2, cpus].
+            cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
+            num_searchers = min(num_shards, cpus,
+                                max(cpus // 2, -(-num_shards // 8), 1))
         stale = set(man["stats"].get("wand_stale_shards", []))
         wand_ok = ({s for s in range(num_shards) if s not in stale}
                    if use_wand else set())
