@@ -32,8 +32,7 @@ def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
 
 
 def _batch_sims(b: pa.Table, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-    emb = np.asarray(b.column("embedding").to_pylist(), dtype=np.float64)
+    ids, emb = _emb_matrix(b)  # zero-copy list<float> → (n, dim) matrix
     norms = np.linalg.norm(emb, axis=1)
     qn = np.linalg.norm(q)
     sims = emb @ q / np.where(norms * qn == 0.0, 1.0, norms * qn)

@@ -1,13 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The image/audio codec libraries are not available in this container, so
-the DECODE step is stubbed (deterministic fake decoder;
-``decoder="real"`` uses PIL when importable, ``strict=True`` raises
-NotImplementedError at the decode site) — but the Ray-side plumbing is
-real and tested: schemas, actor signature (decode state in __init__),
-small batch sizes for large binary payloads, and the output layout a
-downstream training pipeline would consume.
+Decode reality, by modality:
+- audio: REAL — payloads are genuine RIFF/WAV (synth_media_table writes
+  PCM16 via the stdlib ``wave`` module) and AudioFrameSample parses them
+  back with ``wave``; the fake byte-energy path remains only as the
+  fallback for non-WAV payloads.
+- image: codec availability is DETECTED once per actor in __init__
+  (``decoder="auto"``): PIL is used when importable, else the
+  deterministic fake decoder; ``decoder="real"`` raises if PIL is
+  absent, ``strict=True`` raises at the decode site (the explicit
+  stub marker this container hits for images).
+The Ray-side plumbing is real and tested either way: schemas, actor
+signature (decode state in __init__), small batch sizes for large
+binary payloads, and the output layout a downstream training pipeline
+would consume.
 
 Batch discipline: each __call__ filters the batch ONCE with a vectorized
 Arrow predicate and pulls every column ONCE (to numpy / pylist); the only
@@ -37,15 +44,41 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def _wav_payload(rng: np.random.Generator, sample_rate: int,
+                 duration_ms: int) -> bytes:
+    """A real RIFF/WAV file (PCM16 mono) with deterministic content —
+    decoded back by the stdlib ``wave`` module in AudioFrameSample."""
+    import io
+    import wave
+
+    n = sample_rate * duration_ms // 1000
+    t = np.arange(n, dtype=np.float64)
+    freq = float(rng.uniform(110.0, 880.0))
+    tone = np.sin(2 * np.pi * freq * t / sample_rate)
+    noise = rng.standard_normal(n) * 0.05
+    samples = np.clip((tone + noise) * 12000, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus (payload = seeded bytes)."""
+    """Deterministic media corpus: audio rows carry REAL WAV payloads;
+    image/video payloads stay seeded bytes (no image codec here)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=256 + (i % 5) * 128,
-                               dtype=np.uint8).tobytes()
+        if kind == "audio":
+            payload = _wav_payload(rng, 16000, 1000 + i * 37)
+        else:
+            payload = rng.integers(0, 256, size=256 + (i % 5) * 128,
+                                   dtype=np.uint8).tobytes()
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
@@ -70,19 +103,22 @@ class ImageDecodeResize:
     """
 
     def __init__(self, out_w: int = 32, out_h: int = 32,
-                 strict: bool = False, decoder: str = "fake"):
+                 strict: bool = False, decoder: str = "auto"):
         self.out_w = out_w
         self.out_h = out_h
         self.strict = strict
+        self.decoder = decoder
         self._pil = None
-        if decoder == "real":
+        if decoder in ("auto", "real"):
             try:
                 from PIL import Image  # noqa: PLC0415
                 self._pil = Image
             except ImportError as e:
-                raise NotImplementedError(
-                    "decoder='real' needs pillow, which is not in this "
-                    "container") from e
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "decoder='real' needs pillow, which is not in "
+                        "this container") from e
+                # auto: documented fallback to the deterministic fake
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if self.strict:
@@ -91,8 +127,13 @@ class ImageDecodeResize:
                 "install pillow/turbojpeg and decode here")
         if self._pil is not None:
             import io
-            img = self._pil.open(io.BytesIO(payload)).convert("RGB")
-            return np.asarray(img)
+            try:
+                img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+                return np.asarray(img)
+            except Exception:
+                if self.decoder == "real":
+                    raise
+                # auto: payload isn't a decodable image → fake fallback
         raw = np.frombuffer(payload, dtype=np.uint8)
         reps = -(-(w * h * 3) // len(raw))
         return np.tile(raw, reps)[:w * h * 3].reshape(h, w, 3)
@@ -126,22 +167,38 @@ class ImageDecodeResize:
 
 class AudioFrameSample:
     """Actor-pool stage: frame-sample audio payloads into fixed windows
-    with an energy feature per frame (fake decode, real plumbing)."""
+    with an energy feature per frame.
+
+    Decode is REAL for WAV payloads: the stdlib ``wave`` module parses
+    the RIFF container and the energies run over the actual PCM16
+    samples. Non-WAV payloads fall back to the documented byte-energy
+    fake; ``strict=True`` raises instead of falling back."""
 
     def __init__(self, frame_ms: int = 100, strict: bool = False):
         self.frame_ms = frame_ms
         self.strict = strict
+        import wave  # stdlib, always present — checked once per actor
+        self._wave = wave
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:4] == b"RIFF":
+            import io
+            with self._wave.open(io.BytesIO(payload), "rb") as w:
+                frames = w.readframes(w.getnframes())
+            return np.frombuffer(frames, dtype="<i2").astype(np.int64)
+        if self.strict:
+            raise NotImplementedError(
+                "non-WAV audio codecs unavailable in this container")
+        return np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         audio = batch.filter(pc.equal(batch.column("kind"), "audio"))
-        if self.strict and audio.num_rows:
-            raise NotImplementedError("audio codecs unavailable")
         ids = audio.column("media_id").to_numpy(zero_copy_only=False)
         durs = audio.column("duration_ms").to_numpy(zero_copy_only=False)
         payloads = audio.column("payload").to_pylist()
         o_id, o_frame, o_energy = [], [], []
         for i in range(len(ids)):
-            samples = np.frombuffer(payloads[i], dtype=np.uint8)
+            samples = self._decode(payloads[i])
             n_frames = max(1, int(durs[i]) // self.frame_ms)
             sq = samples.astype(np.int64) ** 2
             # per-frame energies via one cumulative sum, no per-frame
@@ -173,7 +230,9 @@ def media_pipeline(n: int = 64):
     audio; returns (image_features, audio_frames) datasets."""
     import ray.data as rd
 
-    media = rd.from_arrow(synth_media_table(n))
+    # from_arrow yields ONE block; split it so the 2-actor pools get
+    # parallel inputs (and the actor-pool underutilization warning goes)
+    media = rd.from_arrow(synth_media_table(n)).repartition(8)
     images = media.map_batches(ImageDecodeResize, batch_format="pyarrow",
                                batch_size=8, concurrency=2)
     audio = media.map_batches(AudioFrameSample, batch_format="pyarrow",

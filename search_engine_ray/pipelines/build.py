@@ -224,6 +224,23 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
     ``columns`` when given (so the dedup url pass never reads html).
     Returns the manifest dict.
     """
+    # the early-spawned merge actor pool must die on EVERY exit path —
+    # an exception between spawn and merge would otherwise leak
+    # num_cpus=0 actors until the driver exits
+    merge_pool: list = []
+    try:
+        return _build_index(pages_factory, index_dir, docs_per_shard,
+                            force, merge_pool)
+    finally:
+        for a in merge_pool:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+
+
+def _build_index(pages_factory, index_dir: str, docs_per_shard: int,
+                 force: bool, merge_pool: list) -> dict:
     from ray.data import DataContext
     try:  # ~10% faster map-side sort blocks for the cluster exchange
         DataContext.get_current().use_polars_sort = True
@@ -262,8 +279,6 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
                                  os.path.join(index_dir, "docmeta"))
                 for _ in range(n_workers)]
 
-    merge_pool: list = []
-
     t0 = time.time()
     if not _stage_done(index_dir, "docs", cfg_hash):
         from .exchange import _PartialExchangeWriter
@@ -280,8 +295,8 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
         os.makedirs(exchange_dir, exist_ok=True)
         # merge actors spin up (process spawn + imports) while the fused
         # map pass below streams
-        merge_pool = _spawn_merge_pool(num_shards, num_groups,
-                                       new_build_id)
+        merge_pool[:] = _spawn_merge_pool(num_shards, num_groups,
+                                          new_build_id)
         writer = _PartialExchangeWriter(exchange_dir, num_shards,
                                         num_groups, emit_meta=True,
                                         passthrough=True)
@@ -372,15 +387,15 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
             tmg = time.time()
             groups = sorted({s % num_groups for s in missing})
             if not merge_pool:
-                merge_pool = _spawn_merge_pool(num_shards, num_groups,
-                                               build_id)
+                merge_pool[:] = _spawn_merge_pool(num_shards, num_groups,
+                                                  build_id)
             futures = [merge_pool[i % len(merge_pool)]
                        .merge_groups.remote([g], avgdl)
                        for i, g in enumerate(groups)]
             ray.get(futures)
             for a in merge_pool:
                 ray.kill(a)
-            merge_pool = []
+            merge_pool.clear()
             # shards with docs but no postings (or no docs) get an empty
             # segment/docmeta so the searcher can always open its shard
             import pyarrow.parquet as _pq
@@ -412,6 +427,7 @@ def build_index(pages_factory, index_dir: str, *, docs_per_shard: int = 4096,
                     segments_wall_s=round(time.time() - t1, 3))
     for a in merge_pool:  # pool spawned but segments already done
         ray.kill(a)
+    merge_pool.clear()
 
     t2 = time.time()
     if not _stage_done(index_dir, "terms", cfg_hash):

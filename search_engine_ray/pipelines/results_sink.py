@@ -108,12 +108,20 @@ def _iter_results(results) -> list[tuple[str, str, float]]:
     return [(u, t, s) for u, t, s in results]
 
 
-def build_search_html(results) -> str:
-    """RootPlugin::BuildSearchHTML (RootPlugin.h:124-214), byte-exact."""
+def build_search_html(results, escape: bool = False) -> str:
+    """RootPlugin::BuildSearchHTML (RootPlugin.h:124-214), byte-exact
+    when ``escape=False`` (the conformance target — the reference does
+    not escape). The live HTTP serve path passes ``escape=True``:
+    interpolating corpus-controlled url/title unescaped is a stored-XSS
+    vector that conformance tests should pin but a real server must not
+    ship."""
+    import html as _html
+
+    esc = _html.escape if escape else (lambda s, quote=True: s)
     parts = [_HTML_HEAD]
     for url, title, _score in _iter_results(results):
-        parts.append(
-            f'<li><a href="{url}" target="_blank">{title}</a></li>')
+        parts.append(f'<li><a href="{esc(url)}" target="_blank">'
+                     f'{esc(title)}</a></li>')
     parts.append(_HTML_TAIL)
     return "".join(parts)
 

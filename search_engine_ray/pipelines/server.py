@@ -52,7 +52,11 @@ class _Handler(BaseHTTPRequestHandler):
             # compiler performs the reference url_decode itself
             query = path[10:].lower()
             results = self.engine.search(query, k=self.k)
-            self._respond(200, build_search_html(results).encode())
+            # escape=True on the live surface: corpus-controlled
+            # url/title must not inject markup (the unescaped variant
+            # exists only as the byte-pinned conformance target)
+            self._respond(200,
+                          build_search_html(results, escape=True).encode())
         elif path == "/logo.svg":
             self._respond(404, b"")
         else:

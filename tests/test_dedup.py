@@ -196,3 +196,29 @@ def test_multimodal_plumbing(ray_session):
     strict = ImageDecodeResize(strict=True)
     with pytest.raises(NotImplementedError):
         strict(synth_media_table(3))
+
+
+def test_audio_decode_is_real_wav(ray_session):
+    """Audio payloads are genuine RIFF/WAV and the stage decodes the
+    actual PCM samples (stdlib wave), not payload bytes."""
+    import io
+    import wave
+
+    from search_engine_ray.functions.multimodal import (AudioFrameSample,
+                                                        synth_media_table)
+
+    t = synth_media_table(9)
+    audio_rows = t.filter(pa.compute.equal(t.column("kind"), "audio"))
+    payload = audio_rows.column("payload")[0].as_py()
+    assert payload[:4] == b"RIFF"
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        assert w.getframerate() == 16000
+        assert w.getnframes() > 0
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    stage = AudioFrameSample(strict=True)  # strict: no fake fallback
+    out = stage(t)
+    mid = int(audio_rows.column("media_id")[0].as_py())
+    got = out.filter(pa.compute.equal(out.column("media_id"), mid))
+    # total energy across frames == sum of squared real PCM samples
+    assert (sum(got.column("energy").to_pylist())
+            == int((pcm.astype(np.int64) ** 2).sum()))

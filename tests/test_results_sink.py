@@ -124,3 +124,23 @@ def test_http_serving_surface(ray_session, sf_dir):
     finally:
         srv.shutdown()
         eng.close()
+
+
+def test_build_search_html_escape_mode():
+    """serve() path escapes corpus-controlled fields; the default stays
+    byte-pinned to the reference (unescaped)."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.results_sink import build_search_html
+
+    t = pa.table({
+        "url": ['http://x.com/?a="<b>&c'],
+        "title": ["<script>alert(1)</script>"],
+        "score": [1.0],
+    })
+    raw = build_search_html(t)
+    assert "<script>alert(1)</script>" in raw
+    esc = build_search_html(t, escape=True)
+    assert "<script>" not in esc
+    assert "&lt;script&gt;alert(1)&lt;/script&gt;" in esc
+    assert "&quot;" in esc or "%22" in esc
