@@ -147,20 +147,26 @@ def merge_frontend_compat(arrays: list[list]) -> list:
     return out
 
 
-def _node_merge(per_chunk: list[list[list]], qid: int,
-                chunk_ids: list[int]) -> list:
-    """One csolver node's reply for query qid: sequential prefix cap over
-    its own chunks (csolver.cpp:145-148) then the csolver-side descending
-    merge."""
-    arrays = []
-    accumulated = 0
-    for ci in chunk_ids:
-        partial = per_chunk[ci][qid]
-        accumulated += len(partial)
-        arrays.append(partial)
-        if accumulated > 200:  # MAX_RANKED_DOCS, csolver.h:14
-            break
-    return merge_chunk_results(arrays)
+@ray.remote
+def _node_merge_task(n_queries: int, *chunk_results: list[list]) -> list:
+    """One csolver node's replies, computed WHERE ITS CHUNKS ARE: apply
+    the sequential prefix cap over the node's own chunks
+    (csolver.cpp:145-148) then the csolver-side descending merge, for
+    every query. The driver never sees per-chunk results — only the
+    ≤ ~MAX_RANKED_DOCS per-node merged lists (tree merge; at very large
+    node counts the same task composes into another level)."""
+    out = []
+    for qid in range(n_queries):
+        arrays = []
+        accumulated = 0
+        for cr in chunk_results:  # node's chunks in crawl order
+            partial = cr[qid]
+            accumulated += len(partial)
+            arrays.append(partial)
+            if accumulated > 200:  # MAX_RANKED_DOCS, csolver.h:14
+                break
+        out.append(merge_chunk_results(arrays))
+    return out
 
 
 def compat_search(sf_dir: str, queries: list[str] | None = None,
@@ -198,19 +204,20 @@ def compat_search(sf_dir: str, queries: list[str] | None = None,
         slices = [(remap[bi], s, e) for bi, s, e in ranges]
         futures.append(_rank_chunk_task.remote(
             plans_ref, slices, *[block_refs[bi] for bi in needed]))
-    per_chunk = ray.get(futures)  # [chunk][query] -> results
-    n_chunks = len(per_chunk)
+    n_chunks = len(futures)
 
     # contiguous chunk→node assignment (each reference node indexes its
-    # own crawl subset; endpoint order is the node order)
+    # own crawl subset; endpoint order is the node order); the per-node
+    # cap+merge runs as its own task fed by the chunk futures, so the
+    # driver collects n_nodes bounded lists, not n_chunks
     per_node = max(1, math.ceil(n_chunks / max(n_nodes, 1)))
-    node_chunks = [list(range(i, min(i + per_node, n_chunks)))
-                   for i in range(0, n_chunks, per_node)]
+    node_results = ray.get([
+        _node_merge_task.remote(len(qs), *futures[i:i + per_node])
+        for i in range(0, n_chunks, per_node)])
 
     cols = {"query_id": [], "query": [], "rank": [], "score": [], "url": []}
     for qid, q in enumerate(qs):
-        node_lists = [_node_merge(per_chunk, qid, ids)
-                      for ids in node_chunks]
+        node_lists = [nr[qid] for nr in node_results]
         if compat_frontend_order:
             merged = merge_frontend_compat(node_lists)
         else:
