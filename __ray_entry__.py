@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,
         "embedding_neardup": dedup.embedding_neardup,
         "ngram_jaccard": _ngram_jaccard,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_consecutive,
         # text analysis
         "lang_id": textstats.lang_id,
         "gopher_quality": textstats.gopher_quality,
@@ -198,5 +199,11 @@ FROM e GROUP BY dst
 ORDER BY in_degree DESC, dst
 LIMIT 50
 """
+    # link_pagerank: integer nano-unit arithmetic unrolled per iteration
+    from search_engine_ray.functions.links import pagerank_sql
+    out["link_pagerank"] = pagerank_sql(n_iter=3, k=50)
+    # ngram_jaccard_pairs: exact Jaccard over consecutive doc-id pairs
+    from search_engine_ray.functions.dedup import SQL_NGRAM_JACCARD
+    out["ngram_jaccard_pairs"] = SQL_NGRAM_JACCARD
     # ann_topk_lsh: approximate → rows-only check (recall is pytest-gated)
     return out

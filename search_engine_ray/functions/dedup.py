@@ -397,6 +397,67 @@ def ngram_jaccard(sf_dir: str, pairs=None, k: int = 3,
     return _verify_pairs(pairs_ds, shingles, 0, num_partitions)
 
 
+def ngram_jaccard_consecutive(sf_dir: str, k: int = 3,
+                              num_partitions: int = 8):
+    """Exact n-gram Jaccard for every consecutive doc-id pair
+    (doc_id, doc_id+1) — a deterministic, SQL-checkable slice of the
+    pair-verify path (the inner join against the shingle sets drops the
+    one pair whose doc_b doesn't exist). Jaccard over 64-bit shingle
+    hashes equals Jaccard over the n-gram strings themselves absent an
+    FNV collision, which the DuckDB oracle (``SQL_NGRAM_JACCARD``)
+    cross-checks end to end."""
+    import ray.data  # noqa: F401
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk_pairs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = b.column("doc_id").cast(pa.int64())
+        return pa.table({"doc_a": ids, "doc_b": pc.add(ids, 1)})
+
+    pairs_ds = docs.select_columns(["doc_id"]).map_batches(
+        mk_pairs, batch_format="pyarrow")
+    shingles = docs.map_batches(
+        Shingler(k), batch_format="pyarrow", batch_size=1024)
+    return _verify_pairs(pairs_ds, shingles, 0, num_partitions)
+
+
+# DuckDB oracle for ngram_jaccard_consecutive: distinct 3-token-window
+# shingle strings per doc (short docs fall back to one whole-doc
+# shingle, mirroring shingle_hash_batch), intersection via equi-join,
+# jaccard in integer basis points (i * 10000 // union).
+SQL_NGRAM_JACCARD = r"""
+WITH t AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+shing AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE [array_to_string(toks[i:i+2], ' ')
+               FOR i IN range(1, len(toks) - 1)]
+    END) AS sh
+  FROM t),
+a AS (SELECT DISTINCT doc_id, sh FROM shing),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM a GROUP BY doc_id),
+pairs AS (SELECT d1.doc_id AS doc_a, d1.doc_id + 1 AS doc_b
+          FROM documents d1 JOIN documents d2
+            ON d2.doc_id = d1.doc_id + 1),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          FROM pairs p
+          JOIN a sa ON sa.doc_id = p.doc_a
+          JOIN a sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+          GROUP BY p.doc_a, p.doc_b)
+SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+       CAST(COALESCE(i.i, 0) * 10000
+            // (na.n + nb.n - COALESCE(i.i, 0)) AS BIGINT) AS jaccard_bp
+FROM pairs p
+JOIN sizes na ON na.doc_id = p.doc_a
+JOIN sizes nb ON nb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 class HyperplaneBucketer:
     """Stateful actor stage: seeded random hyperplanes initialized once

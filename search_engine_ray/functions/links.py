@@ -181,3 +181,43 @@ def pagerank_from_edges(edges_in, n_iter: int = 5, k: int = 50,
         "rank_nano": pa.array(top["rank_nano"].astype("int64").tolist(),
                               pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle for link_pagerank (n_iter=3, k=50): the synthesized page
+# template embeds exactly one anchor per document
+# (sources/fixtures.py pages_from_documents_batch), so the edge list is
+# SQL-expressible, and the integer nano-unit arithmetic above
+# (rank // outdeg contributions, base + (85*insum)//100 damping) maps
+# 1:1 onto DuckDB's BIGINT `//`; one CTE pair per unrolled iteration.
+_PR_ITER = """
+i{n} AS (SELECT e.dst AS url, CAST(SUM(r.rank // o.od) AS BIGINT) AS insum
+       FROM e JOIN outdeg o ON e.src = o.src
+              JOIN r{p} r ON e.src = r.url
+       GROUP BY e.dst),
+r{n} AS (SELECT n.url,
+              p.base + (85 * COALESCE(i.insum, 0)) // 100 AS rank
+       FROM nodes n CROSS JOIN params p
+       LEFT JOIN i{n} i ON n.url = i.url)"""
+
+
+def pagerank_sql(n_iter: int = 3, k: int = 50) -> str:
+    from .docops import _URL_EXPR
+
+    iters = ",".join(_PR_ITER.format(n=i + 1, p=i) for i in range(n_iter))
+    return f"""
+WITH e AS (SELECT {_URL_EXPR} AS src,
+       'http://doc' || CAST((doc_id * 7 + 1) % 100000 AS VARCHAR)
+         || '.com/' AS dst
+      FROM documents),
+nodes AS (SELECT DISTINCT url FROM
+  (SELECT src AS url FROM e UNION ALL SELECT dst FROM e)),
+params AS (SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS init,
+                  CAST(150000000 // COUNT(*) AS BIGINT) AS base
+           FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT n.url, p.init AS rank FROM nodes n CROSS JOIN params p),
+{iters}
+SELECT url, CAST(rank AS BIGINT) AS rank_nano FROM r{n_iter}
+ORDER BY rank_nano DESC, url LIMIT {k}
+"""
