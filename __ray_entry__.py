@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": dedup.embedding_neardup,
         "ngram_jaccard": _ngram_jaccard,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_consecutive,
+        # signature-level oracle surfaces (bit-exact SQL twins of the
+        # hashing kernels, functions/sql_hash.py)
+        "simhash_signatures": dedup.simhash_signatures,
+        "minhash_signatures": dedup.minhash_signatures,
         # text analysis
         "lang_id": textstats.lang_id,
         "gopher_quality": textstats.gopher_quality,
@@ -205,5 +209,11 @@ LIMIT 50
     # ngram_jaccard_pairs: exact Jaccard over consecutive doc-id pairs
     from search_engine_ray.functions.dedup import SQL_NGRAM_JACCARD
     out["ngram_jaccard_pairs"] = SQL_NGRAM_JACCARD
+    # hashing-kernel oracles: FNV-1a / shingle-mix / avalanche / SimHash
+    # / MinHash restated in HUGEINT SQL, bit-exact vs the numpy kernels
+    from search_engine_ray.functions import sql_hash
+    out["fingerprints"] = sql_hash.fingerprints_sql()
+    out["simhash_signatures"] = sql_hash.simhash_sql()
+    out["minhash_signatures"] = sql_hash.minhash_sql()
     # ann_topk_lsh: approximate → rows-only check (recall is pytest-gated)
     return out

@@ -535,3 +535,39 @@ def embedding_neardup(sf_dir: str, threshold_bp: int = 9500,
         "vec_b": pa.array(out["vec_b"], pa.int64()),
         "cos_bp": pa.array(out["cos_bp"], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Signature-level oracle surfaces: the full hashing kernels (FNV-1a,
+# shingle mix + avalanche, SimHash majority, MinHash permutations) are
+# deterministic integer arithmetic, so they're cross-checked bit-exactly
+# against pure-SQL DuckDB renditions (functions/sql_hash.py).
+# ---------------------------------------------------------------------------
+def simhash_signatures(sf_dir: str):
+    """Per-doc 64-bit SimHash signatures (doc_id, simhash int64-view)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(simhash_batch, batch_format="pyarrow",
+                            batch_size=1024)
+
+
+def minhash_signatures(sf_dir: str, n_perm: int = 64,
+                       shingle_k: int = 3, seed: int = 42):
+    """Per-doc MinHash signatures in long form (doc_id, perm, sig):
+    one row per permutation, values int64-viewed uint64."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = MinHasher(n_perm, shingle_k, seed)(batch)
+        ids = out.column("doc_id").to_numpy()
+        sig_buf = b"".join(out.column("sig").to_pylist())
+        sigs = np.frombuffer(sig_buf, dtype=np.uint64).reshape(
+            len(ids), n_perm)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, n_perm), pa.int64()),
+            "perm": pa.array(np.tile(np.arange(n_perm, dtype=np.int64),
+                                     len(ids)), pa.int64()),
+            "sig": pa.array(sigs.reshape(-1).view(np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow",
+                            batch_size=1024)

@@ -1,0 +1,201 @@
+"""DuckDB SQL renditions of the kernels/shingles.py hash kernels.
+
+Why this exists: the hashing family (winnowed fingerprints, SimHash,
+MinHash) was previously "no oracle by nature". It isn't — every kernel
+is deterministic integer arithmetic, so the whole computation can be
+restated in DuckDB HUGEINT (int128) SQL and cross-checked hash-exactly
+against the vectorized numpy implementation. These builders generate
+single-statement SQL (the driver's oracle runner executes one query;
+no CREATE MACRO) that reproduces, bit for bit:
+
+- FNV-1a 64 over each token's bytes (``list_reduce`` fold; ASCII corpus,
+  matching ``fnv1a_64_arrow``'s UTF-8 bytes),
+- the k-shingle positional-multiplier mix + splitmix64 avalanche of
+  ``shingle_hash_batch`` (incl. the short/empty-doc fallbacks),
+- winnowing's sliding-window minima (window function),
+- SimHash per-bit majority over unique unigram hashes,
+- the MinHash permutation family ``a*lo + ((a*hi)<<32) + b`` (uint64
+  wrap) with per-doc segmented minima.
+
+uint64 wraparound is emulated as HUGEINT mod 2^64; products that would
+overflow int128 (both operands near 2^64) go through a 32-bit-split
+modular multiply (``mulmod64``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TWO64 = "18446744073709551616::HUGEINT"
+_FNV_BASIS = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def mulmod64(a_expr: str, b: int) -> str:
+    """(a_expr * b) % 2^64 without INT128 overflow: 32-bit split of a."""
+    return (f"(((({a_expr}) // 4294967296::HUGEINT) * {b}::HUGEINT "
+            f"% 4294967296::HUGEINT) * 4294967296::HUGEINT "
+            f"+ (({a_expr}) % 4294967296::HUGEINT) * {b}::HUGEINT) "
+            f"% {TWO64}")
+
+
+def xor_chain(exprs: list[str]) -> str:
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = f"xor({out}, {e})"
+    return out
+
+
+def _avalanche_ctes(src: str, keep: str, k1: int = 0xBF58476D1CE4E5B9,
+                    k2: int = 0x94D049BB133111EB) -> str:
+    """splitmix64 finalizer over column ``mx`` of CTE ``src`` as a chain
+    of CTEs (a CTE per step keeps expressions small); yields CTE ``shv``
+    with columns (keep..., sh)."""
+    return f"""
+av1 AS (SELECT {keep}, xor(mx, mx // 1073741824::HUGEINT) AS x FROM {src}),
+av2 AS (SELECT {keep}, {mulmod64('x', k1)} AS x FROM av1),
+av3 AS (SELECT {keep}, xor(x, x // 134217728::HUGEINT) AS x FROM av2),
+av4 AS (SELECT {keep}, {mulmod64('x', k2)} AS x FROM av3),
+shv AS (SELECT {keep}, xor(x, x // 2147483648::HUGEINT) AS sh FROM av4)"""
+
+
+# token CTEs: t (doc_id, toks — lowercased, whitespace-split, empty
+# tokens dropped) and tokh (doc_id, n, th LIST<HUGEINT> of FNV-1a token
+# hashes) over docs that have ≥ 1 token.
+_TOK_CTES = rf"""
+t AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                w -> w <> '') AS toks
+  FROM documents),
+tokh AS (SELECT doc_id, len(toks) AS n,
+    [list_reduce(
+       list_prepend({_FNV_BASIS}::HUGEINT,
+         [ascii(substr(w, i, 1))::HUGEINT
+          FOR i IN range(1, length(w) + 1)]),
+       (h, b) -> (xor(h, b) * {_FNV_PRIME}::HUGEINT) % {TWO64})
+     FOR w IN toks] AS th
+  FROM t WHERE len(toks) > 0)"""
+
+
+def _pos_mult() -> list[int]:
+    from ..kernels.shingles import POS_MULT
+    return [int(x) for x in POS_MULT]
+
+
+def _avalanche_const(x: int) -> int:
+    from ..kernels.shingles import avalanche64
+    return int(avalanche64(np.asarray([x], dtype=np.uint64))[0])
+
+
+def shingle_ctes(k: int) -> str:
+    """CTE chain ending in ``shv`` (doc_id, pos, sh): all k-shingle
+    hashes for docs with ≥ 1 token (short docs emit one mixed hash,
+    mirroring shingle_hash_batch's fallback)."""
+    m = _pos_mult()
+    full = [mulmod64(f"th[pos + {j}]", m[j]) for j in range(k)]
+    short = [f"CASE WHEN n > {j} THEN " + mulmod64(f"th[{j + 1}]", m[j])
+             + " ELSE 0::HUGEINT END" for j in range(k)]
+    return f"""{_TOK_CTES},
+shpos AS (SELECT doc_id, n, th,
+    UNNEST(range(1, GREATEST(n - {k - 1}, 1) + 1)) AS pos
+  FROM tokh),
+mixed AS (SELECT doc_id, pos,
+    CASE WHEN n >= {k} THEN {xor_chain(full)}
+    ELSE {xor_chain(short)} END AS mx
+  FROM shpos),{_avalanche_ctes('mixed', 'doc_id, pos')}"""
+
+
+def _uhuge_to_bigint(e: str) -> str:
+    return (f"CAST(CASE WHEN ({e}) >= 9223372036854775808::HUGEINT "
+            f"THEN ({e}) - {TWO64} ELSE ({e}) END AS BIGINT)")
+
+
+def fingerprints_sql(k: int = 5, window: int = 4) -> str:
+    """Oracle for functions/textstats.py fingerprints(): winnowing
+    minima → per-doc distinct count + xor fold (>> 1)."""
+    empty_fold = _avalanche_const(_FNV_BASIS) >> 1
+    return f"""
+WITH {shingle_ctes(k)},
+mins AS (SELECT doc_id, pos,
+    MIN(sh) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING
+                 ) AS wmin,
+    COUNT(*) OVER (PARTITION BY doc_id) AS m
+  FROM shv),
+wm AS (SELECT doc_id, wmin FROM mins
+       WHERE pos <= GREATEST(m - {window - 1}, 1)),
+u AS (SELECT DISTINCT doc_id, wmin FROM wm),
+g AS (SELECT doc_id, COUNT(*) AS cnt,
+    bit_xor({_uhuge_to_bigint('wmin')}) AS fold
+  FROM u GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(g.cnt, 1) AS BIGINT) AS n_fingerprints,
+  CAST(COALESCE(
+    (CASE WHEN g.fold < 0 THEN g.fold::HUGEINT + {TWO64}
+          ELSE g.fold::HUGEINT END) // 2,
+    {empty_fold}::HUGEINT) AS BIGINT) AS fp_fold
+FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def simhash_sql() -> str:
+    """Oracle for simhash signatures: per-bit majority over each doc's
+    UNIQUE unigram token hashes; tokenless docs get signature 0."""
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (th // {1 << b}::HUGEINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}" for b in range(64))
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b}::HUGEINT "
+        f"ELSE 0::HUGEINT END" for b in range(64))
+    return f"""
+WITH {_TOK_CTES},
+u AS (SELECT DISTINCT doc_id, th FROM
+  (SELECT doc_id, UNNEST(th) AS th FROM tokh)),
+bits AS (SELECT doc_id,
+    {sums}
+  FROM u GROUP BY doc_id),
+sig AS (SELECT doc_id, ({sig}) AS sim FROM bits)
+SELECT d.doc_id,
+  CAST(COALESCE({_uhuge_to_bigint('s.sim')}, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def minhash_sql(n_perm: int = 64, shingle_k: int = 3,
+                seed: int = 42) -> str:
+    """Oracle for minhash signatures in long form (doc_id, perm, sig):
+    per-perm MIN over each doc's unique shingle hashes of
+    a*lo + ((a*hi) << 32) + b  (uint64 wrap), permutation params from
+    the same seeded generator as functions/dedup.py _perm_params."""
+    from .dedup import _perm_params
+    a, b = _perm_params(n_perm, seed)
+    empty_sh = _avalanche_const(_FNV_BASIS)
+
+    def perm_expr(i: int) -> str:
+        ai, bi = int(a[i]), int(b[i])
+        lo = "(sh % 4294967296::HUGEINT)"
+        hi = "(sh // 4294967296::HUGEINT)"
+        return (f"MIN(({mulmod64(lo, ai)} "
+                f"+ (({hi} * {ai}::HUGEINT) % 4294967296::HUGEINT) "
+                f"* 4294967296::HUGEINT + {bi}::HUGEINT) % {TWO64}) "
+                f"AS p{i}")
+
+    mins = ",\n    ".join(perm_expr(i) for i in range(n_perm))
+    cols = ", ".join(f"p{i}" for i in range(n_perm))
+    return f"""
+WITH {shingle_ctes(shingle_k)},
+ush AS (SELECT DISTINCT doc_id, sh FROM shv
+        UNION ALL
+        SELECT d.doc_id, {empty_sh}::HUGEINT AS sh
+        FROM documents d LEFT JOIN tokh ON tokh.doc_id = d.doc_id
+        WHERE tokh.doc_id IS NULL),
+wide AS (SELECT doc_id,
+    {mins}
+  FROM ush GROUP BY doc_id)
+SELECT doc_id, CAST(substr(perm, 2) AS BIGINT) AS perm,
+       {_uhuge_to_bigint('val')} AS sig
+FROM (UNPIVOT wide ON {cols} INTO NAME perm VALUE val)
+ORDER BY doc_id, perm
+"""
