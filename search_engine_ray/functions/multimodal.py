@@ -6,11 +6,13 @@ Decode reality, by modality:
   PCM16 via the stdlib ``wave`` module) and AudioFrameSample parses them
   back with ``wave``; the fake byte-energy path remains only as the
   fallback for non-WAV payloads.
-- image: codec availability is DETECTED once per actor in __init__
-  (``decoder="auto"``): PIL is used when importable, else the
-  deterministic fake decoder; ``decoder="real"`` raises if PIL is
-  absent, ``strict=True`` raises at the decode site (the explicit
-  stub marker this container hits for images).
+- image: REAL for BMP — synth_media_table writes genuine 24-bit BMPs
+  and ImageDecodeResize decodes them with the pure-numpy codec below
+  (no deps). JPEG/PNG go through PIL when importable (detected once
+  per actor in __init__); ``decoder="real"`` raises if PIL is absent,
+  ``strict=True`` raises on any payload that is neither BMP nor
+  PIL-decodable (the explicit marker for the codecs this container
+  lacks).
 The Ray-side plumbing is real and tested either way: schemas, actor
 signature (decode state in __init__), small batch sizes for large
 binary payloads, and the output layout a downstream training pipeline
@@ -66,9 +68,59 @@ def _wav_payload(rng: np.random.Generator, sample_rate: int,
     return buf.getvalue()
 
 
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a real 24-bit BI_RGB BMP
+    (bottom-up, BGR, 4-byte row padding) — pure numpy, no codec deps."""
+    import struct
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def bmp_decode(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to (H, W, 3) uint8 RGB — pure
+    numpy. Raises ValueError on anything but BI_RGB 24bpp."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=h * stride, offset=offset).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if flip else img
+
+
+def _bmp_payload(rng: np.random.Generator, w: int, h: int) -> bytes:
+    """A real BMP with deterministic gradient+noise pixel content."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255 // max(w - 1, 1))[..., None]
+            * np.array([1, 0, 0])
+            + (yy * 255 // max(h - 1, 1))[..., None]
+            * np.array([0, 1, 0]))
+    noise = rng.integers(0, 64, size=(h, w, 3))
+    return bmp_encode(((base + noise) % 256).astype(np.uint8))
+
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic media corpus: audio rows carry REAL WAV payloads;
-    image/video payloads stay seeded bytes (no image codec here)."""
+    """Deterministic media corpus: audio rows carry REAL WAV payloads,
+    image rows REAL 24-bit BMPs (both decoded for real by the stages
+    below, with zero codec deps); video payloads stay seeded bytes."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
@@ -76,13 +128,16 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         kind = kinds[i % 3]
         if kind == "audio":
             payload = _wav_payload(rng, 16000, 1000 + i * 37)
+        elif kind == "image":
+            payload = _bmp_payload(rng, 64 + (i % 8) * 32,
+                                   48 + (i % 6) * 32)
         else:
             payload = rng.integers(0, 256, size=256 + (i % 5) * 128,
                                    dtype=np.uint8).tobytes()
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["mime"].append({"image": "image/jpeg", "audio": "audio/wav",
+        rows["mime"].append({"image": "image/bmp", "audio": "audio/wav",
                              "video": "video/mp4"}[kind])
         rows["width"].append(64 + (i % 8) * 32 if kind != "audio" else 0)
         rows["height"].append(48 + (i % 6) * 32 if kind != "audio" else 0)
@@ -121,10 +176,9 @@ class ImageDecodeResize:
                 # auto: documented fallback to the deterministic fake
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
-        if self.strict:
-            raise NotImplementedError(
-                "image codecs unavailable in this container; "
-                "install pillow/turbojpeg and decode here")
+        if payload[:2] == b"BM":
+            # REAL decode, zero deps: 24-bit BMP via the numpy codec
+            return bmp_decode(payload)
         if self._pil is not None:
             import io
             try:
@@ -133,7 +187,11 @@ class ImageDecodeResize:
             except Exception:
                 if self.decoder == "real":
                     raise
-                # auto: payload isn't a decodable image → fake fallback
+                # auto: payload isn't a decodable image → fall through
+        if self.strict:
+            raise NotImplementedError(
+                "payload is neither BMP nor PIL-decodable; JPEG/PNG "
+                "codecs unavailable in this container")
         raw = np.frombuffer(payload, dtype=np.uint8)
         reps = -(-(w * h * 3) // len(raw))
         return np.tile(raw, reps)[:w * h * 3].reshape(h, w, 3)

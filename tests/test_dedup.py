@@ -192,10 +192,40 @@ def test_multimodal_plumbing(ray_session):
     assert (img["feat_dim"] == 32 * 32 * 3).all()
     au = audio.to_pandas()
     assert au.groupby("media_id").size().min() >= 1
-    # strict mode surfaces the stub explicitly
+    # strict mode decodes real BMP payloads fine but surfaces the
+    # JPEG/PNG stub explicitly for non-BMP payloads
     strict = ImageDecodeResize(strict=True)
+    assert strict(synth_media_table(3)).num_rows == 1
+    garbage = synth_media_table(3).set_column(
+        2, "payload", pa.array([b"\x89PNG not really"] * 3, pa.binary()))
     with pytest.raises(NotImplementedError):
-        strict(synth_media_table(3))
+        strict(garbage)
+
+
+def test_image_decode_is_real_bmp(ray_session):
+    """Image payloads are genuine 24-bit BMPs and the stage's features
+    come from the actual pixels (encode → decode roundtrip exact)."""
+    from search_engine_ray.functions.multimodal import (
+        ImageDecodeResize, bmp_decode, bmp_encode, synth_media_table)
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    assert np.array_equal(bmp_decode(bmp_encode(arr)), arr)
+
+    t = synth_media_table(9)
+    img_rows = t.filter(pa.compute.equal(t.column("kind"), "image"))
+    payload = img_rows.column("payload")[0].as_py()
+    assert payload[:2] == b"BM"
+    img = bmp_decode(payload)
+    assert img.shape == (int(img_rows.column("height")[0].as_py()),
+                         int(img_rows.column("width")[0].as_py()), 3)
+    out = ImageDecodeResize(out_w=8, out_h=8, strict=True)(t)
+    feats = np.asarray(out.column("features")[0].as_py(),
+                       dtype=np.float32).reshape(3, 8, 8)
+    ys = np.arange(8) * img.shape[0] // 8
+    xs = np.arange(8) * img.shape[1] // 8
+    expect = (img[ys][:, xs].astype(np.float32) / 255.0).transpose(2, 0, 1)
+    assert np.array_equal(feats, expect)
 
 
 def test_audio_decode_is_real_wav(ray_session):
