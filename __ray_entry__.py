@@ -215,5 +215,9 @@ LIMIT 50
     out["fingerprints"] = sql_hash.fingerprints_sql()
     out["simhash_signatures"] = sql_hash.simhash_sql()
     out["minhash_signatures"] = sql_hash.minhash_sql()
+    # the end-to-end near-dup pipelines themselves: banding, bucket
+    # self-join candidates, Hamming / exact-Jaccard verification
+    out["simhash_dedup"] = sql_hash.simhash_dedup_sql()
+    out["minhash_dedup"] = sql_hash.minhash_dedup_sql()
     # ann_topk_lsh: approximate → rows-only check (recall is pytest-gated)
     return out

@@ -46,17 +46,20 @@ def xor_chain(exprs: list[str]) -> str:
     return out
 
 
-def _avalanche_ctes(src: str, keep: str, k1: int = 0xBF58476D1CE4E5B9,
-                    k2: int = 0x94D049BB133111EB) -> str:
+def _avalanche_ctes(src: str, keep: str, prefix: str = "av",
+                    out: str = "shv") -> str:
     """splitmix64 finalizer over column ``mx`` of CTE ``src`` as a chain
-    of CTEs (a CTE per step keeps expressions small); yields CTE ``shv``
-    with columns (keep..., sh)."""
+    of CTEs (a CTE per step keeps expressions small); yields CTE ``out``
+    with columns (keep..., sh). ``prefix`` keeps intermediate CTE names
+    unique when the chain appears twice in one query."""
+    k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    p = prefix
     return f"""
-av1 AS (SELECT {keep}, xor(mx, mx // 1073741824::HUGEINT) AS x FROM {src}),
-av2 AS (SELECT {keep}, {mulmod64('x', k1)} AS x FROM av1),
-av3 AS (SELECT {keep}, xor(x, x // 134217728::HUGEINT) AS x FROM av2),
-av4 AS (SELECT {keep}, {mulmod64('x', k2)} AS x FROM av3),
-shv AS (SELECT {keep}, xor(x, x // 2147483648::HUGEINT) AS sh FROM av4)"""
+{p}1 AS (SELECT {keep}, xor(mx, mx // 1073741824::HUGEINT) AS x FROM {src}),
+{p}2 AS (SELECT {keep}, {mulmod64('x', k1)} AS x FROM {p}1),
+{p}3 AS (SELECT {keep}, xor(x, x // 134217728::HUGEINT) AS x FROM {p}2),
+{p}4 AS (SELECT {keep}, {mulmod64('x', k2)} AS x FROM {p}3),
+{out} AS (SELECT {keep}, xor(x, x // 2147483648::HUGEINT) AS sh FROM {p}4)"""
 
 
 # token CTEs: t (doc_id, toks — lowercased, whitespace-split, empty
@@ -163,12 +166,10 @@ ORDER BY d.doc_id
 """
 
 
-def minhash_sql(n_perm: int = 64, shingle_k: int = 3,
-                seed: int = 42) -> str:
-    """Oracle for minhash signatures in long form (doc_id, perm, sig):
-    per-perm MIN over each doc's unique shingle hashes of
-    a*lo + ((a*hi) << 32) + b  (uint64 wrap), permutation params from
-    the same seeded generator as functions/dedup.py _perm_params."""
+def _minhash_wide_ctes(n_perm: int, shingle_k: int, seed: int) -> str:
+    """CTE chain ending in ``ush`` (doc_id, sh — unique shingle hashes,
+    with the empty-doc fallback shingle) and ``wide`` (doc_id,
+    p0..p{n-1} — the per-perm minima)."""
     from .dedup import _perm_params
     a, b = _perm_params(n_perm, seed)
     empty_sh = _avalanche_const(_FNV_BASIS)
@@ -183,9 +184,7 @@ def minhash_sql(n_perm: int = 64, shingle_k: int = 3,
                 f"AS p{i}")
 
     mins = ",\n    ".join(perm_expr(i) for i in range(n_perm))
-    cols = ", ".join(f"p{i}" for i in range(n_perm))
-    return f"""
-WITH {shingle_ctes(shingle_k)},
+    return f"""{shingle_ctes(shingle_k)},
 ush AS (SELECT DISTINCT doc_id, sh FROM shv
         UNION ALL
         SELECT d.doc_id, {empty_sh}::HUGEINT AS sh
@@ -193,9 +192,107 @@ ush AS (SELECT DISTINCT doc_id, sh FROM shv
         WHERE tokh.doc_id IS NULL),
 wide AS (SELECT doc_id,
     {mins}
-  FROM ush GROUP BY doc_id)
+  FROM ush GROUP BY doc_id)"""
+
+
+def minhash_sql(n_perm: int = 64, shingle_k: int = 3,
+                seed: int = 42) -> str:
+    """Oracle for minhash signatures in long form (doc_id, perm, sig):
+    per-perm MIN over each doc's unique shingle hashes of
+    a*lo + ((a*hi) << 32) + b  (uint64 wrap), permutation params from
+    the same seeded generator as functions/dedup.py _perm_params."""
+    cols = ", ".join(f"p{i}" for i in range(n_perm))
+    return f"""
+WITH {_minhash_wide_ctes(n_perm, shingle_k, seed)}
 SELECT doc_id, CAST(substr(perm, 2) AS BIGINT) AS perm,
        {_uhuge_to_bigint('val')} AS sig
 FROM (UNPIVOT wide ON {cols} INTO NAME perm VALUE val)
 ORDER BY doc_id, perm
+"""
+
+
+def simhash_dedup_sql(max_hamming: int = 3) -> str:
+    """Full-output oracle for functions/dedup.py simhash_dedup: 4×16-bit
+    band buckets (self-join on band+key), Hamming via two's-complement
+    ``bit_count(xor(...))`` (= uint64 popcount), distinct pairs."""
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (th // {1 << b}::HUGEINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}" for b in range(64))
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b}::HUGEINT "
+        f"ELSE 0::HUGEINT END" for b in range(64))
+    keys = ", ".join(f"(sim // {1 << (16 * band)}::HUGEINT) "
+                     f"% 65536::HUGEINT" for band in range(4))
+    return f"""
+WITH {_TOK_CTES},
+u AS (SELECT DISTINCT doc_id, th FROM
+  (SELECT doc_id, UNNEST(th) AS th FROM tokh)),
+bits AS (SELECT doc_id,
+    {sums}
+  FROM u GROUP BY doc_id),
+sigc AS (SELECT doc_id, ({sig}) AS sim FROM bits),
+s AS (SELECT d.doc_id, COALESCE(sigc.sim, 0::HUGEINT) AS sim,
+        CAST(COALESCE({_uhuge_to_bigint('sigc.sim')}, 0) AS BIGINT) AS simi
+      FROM documents d LEFT JOIN sigc ON sigc.doc_id = d.doc_id),
+bk AS (SELECT doc_id, simi,
+    UNNEST(range(0, 4)) AS band,
+    UNNEST([{keys}]) AS key
+  FROM s),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        bit_count(xor(a.simi, b.simi)) AS hamming
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+d2 AS (SELECT DISTINCT doc_a, doc_b, hamming FROM p
+       WHERE hamming <= {max_hamming})
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM d2
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_dedup_sql(threshold_bp: int = 7000, n_perm: int = 64,
+                      n_bands: int = 16, shingle_k: int = 3,
+                      seed: int = 42) -> str:
+    """Full-output oracle for functions/dedup.py minhash_dedup: banded
+    LSH keys (positional-multiplier mix + avalanche over each band's
+    perm minima, exactly _band_rows), candidate pairs via band-bucket
+    self-join, exact Jaccard over the unique shingle sets, filtered at
+    threshold_bp. Valid while every band bucket holds ≤ 512 docs (the
+    distributed path's hot-bucket star fallback never triggers at
+    oracle scale — the sf dirs have ≤ 5000 docs and no 512-way
+    band collisions)."""
+    rows_per_band = n_perm // n_bands
+    m = _pos_mult()
+    mixes = []
+    for band in range(n_bands):
+        terms = [mulmod64(f"p{band * rows_per_band + j}",
+                          m[j % len(m)]) for j in range(rows_per_band)]
+        mixes.append(xor_chain(terms))
+    return f"""
+WITH {_minhash_wide_ctes(n_perm, shingle_k, seed)},
+bmix AS (SELECT doc_id,
+    UNNEST(range(0, {n_bands})) AS band,
+    UNNEST([{", ".join(mixes)}]) AS mx
+  FROM wide),{_avalanche_ctes('bmix', 'doc_id, band', prefix='bv',
+                              out='bkey')},
+bk AS (SELECT doc_id, band, sh // 2 AS key FROM bkey),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bk a JOIN bk b
+           ON a.band = b.band AND a.key = b.key
+          AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ush GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+          FROM cand c
+          JOIN ush sa ON sa.doc_id = c.doc_a
+          JOIN ush sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY c.doc_a, c.doc_b),
+scored AS (SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+        CAST(COALESCE(i.i, 0) * 10000
+             // (na.n + nb.n - COALESCE(i.i, 0)) AS BIGINT) AS jaccard_bp
+      FROM cand c
+      JOIN sizes na ON na.doc_id = c.doc_a
+      JOIN sizes nb ON nb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+SELECT doc_a, doc_b, jaccard_bp FROM scored
+WHERE jaccard_bp >= {threshold_bp}
+ORDER BY doc_a, doc_b
 """
