@@ -157,6 +157,17 @@ def run_bench() -> dict:
         qps_runs.append(n_inflight / (time.time() - t0))
     results["query_throughput_qps"] = round(max(qps_runs), 1)
     results["query_throughput_qps_runs"] = [round(x, 1) for x in qps_runs]
+
+    # batch serving (search_many: one RPC per actor per batch — the
+    # offline/batch-scoring path; driver fan-out is O(actors), not
+    # O(actors × queries)); best of 2
+    batch_qs = [q for q in REF_QUERIES] * 5
+    bqps_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        eng.search_batch(batch_qs, k=10)
+        bqps_runs.append(len(batch_qs) / (time.time() - t0))
+    results["query_batch_qps"] = round(max(bqps_runs), 1)
     eng.close()
 
     # block-max WAND vs exhaustive on a big-shard index (the scale path:

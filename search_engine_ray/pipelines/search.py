@@ -537,6 +537,15 @@ class SegmentSearcher:
         results.sort(key=lambda r: (-r[0], r[1]))
         return results[:k]
 
+    def search_many(self, plans: list, k: int, idfs: list[dict],
+                    avgdl: float) -> list[list[tuple]]:
+        """Batch serving: many queries in ONE RPC. Driver fan-out cost
+        becomes O(actors) per batch instead of O(actors × queries) —
+        the throughput-mode analogue of the reference csolver reading a
+        socket stream of queries per node."""
+        return [self.search(p, k, i, avgdl)
+                for p, i in zip(plans, idfs)]
+
 
 # ---------------------------------------------------------------------------
 # driver-side engine
@@ -607,31 +616,59 @@ class SearchEngine:
             if hit is not None:
                 return hit
         plan = self.compile(query)
-        cols = {"rank": [], "score": [], "doc_id": [], "url": [], "title": []}
+        merged = []
         if plan is not None:
             idf = {t: self.idf(t) for t, _ in flatten_terms(plan)}
             parts = ray.get([a.search.remote(plan, k, idf, self.avgdl)
                              for a in self.actors])
             merged = sorted((r for p in parts for r in p),
                             key=lambda r: (-r[0], r[1]))[:k]
-            for rank, (score, doc_id, url, title) in enumerate(merged, 1):
-                cols["rank"].append(rank)
-                cols["score"].append(score)
-                cols["doc_id"].append(doc_id)
-                cols["url"].append(url)
-                cols["title"].append(title)
-        result = pa.table({
+        result = self._table_from_merged(merged)
+        if self._cache_size:
+            if len(self._cache) >= self._cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[(query, k)] = result
+        return result
+
+    def _table_from_merged(self, merged) -> pa.Table:
+        cols = {"rank": [], "score": [], "doc_id": [], "url": [],
+                "title": []}
+        for rank, (score, doc_id, url, title) in enumerate(merged, 1):
+            cols["rank"].append(rank)
+            cols["score"].append(score)
+            cols["doc_id"].append(doc_id)
+            cols["url"].append(url)
+            cols["title"].append(title)
+        return pa.table({
             "rank": pa.array(cols["rank"], pa.int64()),
             "score": pa.array(cols["score"], pa.float64()),
             "doc_id": pa.array(cols["doc_id"], pa.int64()),
             "url": pa.array(cols["url"], pa.string()),
             "title": pa.array(cols["title"], pa.string()),
         })
-        if self._cache_size:
-            if len(self._cache) >= self._cache_size:
-                self._cache.pop(next(iter(self._cache)))
-            self._cache[(query, k)] = result
-        return result
+
+    def search_batch(self, queries: list[str], k: int = 10
+                     ) -> list[pa.Table]:
+        """Batch serving: one search_many RPC per actor for the whole
+        query list (results identical to per-query search; pinned by
+        tests/test_build_search.py)."""
+        plans = [self.compile(q) for q in queries]
+        live = [(qi, p) for qi, p in enumerate(plans) if p is not None]
+        out: list[pa.Table] = [self._table_from_merged([])
+                               for _ in queries]
+        if live:
+            sub_plans = [p for _, p in live]
+            idfs = [{t: self.idf(t) for t, _ in flatten_terms(p)}
+                    for p in sub_plans]
+            futs = [a.search_many.remote(sub_plans, k, idfs, self.avgdl)
+                    for a in self.actors]
+            per_actor = ray.get(futs)
+            for j, (qi, _) in enumerate(live):
+                merged = sorted((r for parts in per_actor
+                                 for r in parts[j]),
+                                key=lambda r: (-r[0], r[1]))[:k]
+                out[qi] = self._table_from_merged(merged)
+        return out
 
     def close(self) -> None:
         for a in self.actors:

@@ -224,3 +224,18 @@ def test_segment_blockmax_bounds_scores(index_dir):
             assert blk.max() <= tp.block_max_impact[b] + 1e-6
             assert tp.block_last_doc[b] == tp.doc_ids[
                 min((b + 1) * seg.BLOCK_SIZE, len(tp.doc_ids)) - 1]
+
+
+def test_search_batch_matches_per_query(index_dir, ray_session):
+    from search_engine_ray.pipelines.search import SearchEngine
+
+    out, _, _ = index_dir
+    eng = SearchEngine(out, num_searchers=2)
+    try:
+        queries = ["running", "children & data", "word1 | word2",
+                   '"some phrase"', "~nosuchwordatall", ""]
+        batched = eng.search_batch(queries, k=10)
+        for q, bt in zip(queries, batched):
+            assert bt.equals(eng.search(q, k=10)), q
+    finally:
+        eng.close()
