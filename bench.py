@@ -150,7 +150,8 @@ def run_bench() -> dict:
                 if plan is None:
                     continue
                 idf = {t: eng.idf(t) for t, _ in flatten_terms(plan)}
-                futures.extend(a.search.remote(plan, 10, idf, eng.avgdl)
+                pr, ir = _ray.put(plan), _ray.put(idf)
+                futures.extend(a.search.remote(pr, 10, ir, eng.avgdl)
                                for a in eng.actors)
                 n_inflight += 1
         _ray.get(futures)
@@ -240,6 +241,9 @@ def run_scaling() -> dict:
     qps_lo = r_lo["queries"].get("query_throughput_qps", 0)
     qps_hi = r_hi["queries"].get("query_throughput_qps", 0)
     eff_query = qps_hi / (qps_lo * hi / lo) if qps_lo else None
+    bqps_lo = r_lo["queries"].get("query_batch_qps", 0)
+    bqps_hi = r_hi["queries"].get("query_batch_qps", 0)
+    eff_batch = bqps_hi / (bqps_lo * hi / lo) if bqps_lo else None
     return {
         "metric": "scaling_efficiency",
         "value": round(eff_build, 3),
@@ -249,6 +253,9 @@ def run_scaling() -> dict:
         "docs_per_sec_lo": dps_lo, "docs_per_sec_hi": dps_hi,
         "query_qps_lo": qps_lo, "query_qps_hi": qps_hi,
         "query_scaling_efficiency": round(eff_query, 3) if eff_query else None,
+        "query_batch_qps_lo": bqps_lo, "query_batch_qps_hi": bqps_hi,
+        "query_batch_scaling_efficiency":
+            round(eff_batch, 3) if eff_batch else None,
         "query_p50_ms_lo": r_lo["queries"]["query_p50_ms"],
         "query_p50_ms_hi": r_hi["queries"]["query_p50_ms"],
         "sf": SF_DIR,

@@ -619,7 +619,11 @@ class SearchEngine:
         merged = []
         if plan is not None:
             idf = {t: self.idf(t) for t, _ in flatten_terms(plan)}
-            parts = ray.get([a.search.remote(plan, k, idf, self.avgdl)
+            # ray.put once: the plan+idf payload is serialized a single
+            # time per query instead of once per actor in the fan-out
+            plan_ref, idf_ref = ray.put(plan), ray.put(idf)
+            parts = ray.get([a.search.remote(plan_ref, k, idf_ref,
+                                             self.avgdl)
                              for a in self.actors])
             merged = sorted((r for p in parts for r in p),
                             key=lambda r: (-r[0], r[1]))[:k]
@@ -660,7 +664,9 @@ class SearchEngine:
             sub_plans = [p for _, p in live]
             idfs = [{t: self.idf(t) for t, _ in flatten_terms(p)}
                     for p in sub_plans]
-            futs = [a.search_many.remote(sub_plans, k, idfs, self.avgdl)
+            plans_ref, idfs_ref = ray.put(sub_plans), ray.put(idfs)
+            futs = [a.search_many.remote(plans_ref, k, idfs_ref,
+                                         self.avgdl)
                     for a in self.actors]
             per_actor = ray.get(futs)
             for j, (qi, _) in enumerate(live):
