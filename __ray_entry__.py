@@ -71,6 +71,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_stats": docops.stopword_stats,
         # dedup (exact; upgrades reference Bloom filter F1/J5)
         "dedup_exact": docops.dedup_exact,
+        # corpus hygiene: benchmark decontamination + duplicate-cluster
+        # assignment (hash-min connected components over near-dup pairs)
+        "decontaminate": _decontaminate,
+        "dedup_clusters": _dedup_clusters,
         # relational / streaming-shaped
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_by_segment": relational.orders_by_segment,
@@ -96,6 +100,18 @@ def _top_terms(sf_dir: str) -> Any:
     from search_engine_ray.functions.sketches import top_terms
 
     return top_terms(sf_dir)
+
+
+def _decontaminate(sf_dir: str) -> Any:
+    from search_engine_ray.functions.hygiene import decontaminate
+
+    return decontaminate(sf_dir)
+
+
+def _dedup_clusters(sf_dir: str) -> Any:
+    from search_engine_ray.functions.hygiene import dedup_clusters
+
+    return dedup_clusters(sf_dir)
 
 
 def _sessionize(sf_dir: str) -> Any:
@@ -219,5 +235,9 @@ LIMIT 50
     # self-join candidates, Hamming / exact-Jaccard verification
     out["simhash_dedup"] = sql_hash.simhash_dedup_sql()
     out["minhash_dedup"] = sql_hash.minhash_dedup_sql()
+    # corpus hygiene: same HUGEINT shingle-hash restatement; clusters add
+    # a recursive reachability closure over the verified pair list
+    out["decontaminate"] = sql_hash.decontaminate_sql()
+    out["dedup_clusters"] = sql_hash.dedup_clusters_sql()
     # ann_topk_lsh: approximate → rows-only check (recall is pytest-gated)
     return out

@@ -249,17 +249,13 @@ ORDER BY doc_a, doc_b
 """
 
 
-def minhash_dedup_sql(threshold_bp: int = 7000, n_perm: int = 64,
-                      n_bands: int = 16, shingle_k: int = 3,
-                      seed: int = 42) -> str:
-    """Full-output oracle for functions/dedup.py minhash_dedup: banded
+def _minhash_pairs_ctes(n_perm: int, n_bands: int, shingle_k: int,
+                        seed: int) -> str:
+    """CTE chain ending in ``scored`` (doc_a, doc_b, jaccard_bp): banded
     LSH keys (positional-multiplier mix + avalanche over each band's
     perm minima, exactly _band_rows), candidate pairs via band-bucket
-    self-join, exact Jaccard over the unique shingle sets, filtered at
-    threshold_bp. Valid while every band bucket holds ≤ 512 docs (the
-    distributed path's hot-bucket star fallback never triggers at
-    oracle scale — the sf dirs have ≤ 5000 docs and no 512-way
-    band collisions)."""
+    self-join, exact Jaccard over the unique shingle sets. Shared by
+    minhash_dedup_sql and dedup_clusters_sql."""
     rows_per_band = n_perm // n_bands
     m = _pos_mult()
     mixes = []
@@ -267,8 +263,7 @@ def minhash_dedup_sql(threshold_bp: int = 7000, n_perm: int = 64,
         terms = [mulmod64(f"p{band * rows_per_band + j}",
                           m[j % len(m)]) for j in range(rows_per_band)]
         mixes.append(xor_chain(terms))
-    return f"""
-WITH {_minhash_wide_ctes(n_perm, shingle_k, seed)},
+    return f"""{_minhash_wide_ctes(n_perm, shingle_k, seed)},
 bmix AS (SELECT doc_id,
     UNNEST(range(0, {n_bands})) AS band,
     UNNEST([{", ".join(mixes)}]) AS mx
@@ -291,8 +286,65 @@ scored AS (SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
       FROM cand c
       JOIN sizes na ON na.doc_id = c.doc_a
       JOIN sizes nb ON nb.doc_id = c.doc_b
-      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)"""
+
+
+def minhash_dedup_sql(threshold_bp: int = 7000, n_perm: int = 64,
+                      n_bands: int = 16, shingle_k: int = 3,
+                      seed: int = 42) -> str:
+    """Full-output oracle for functions/dedup.py minhash_dedup (see
+    _minhash_pairs_ctes). Valid while every band bucket holds ≤ 512 docs
+    (the distributed path's hot-bucket star fallback never triggers at
+    oracle scale — the sf dirs have ≤ 5000 docs and no 512-way
+    band collisions)."""
+    return f"""
+WITH {_minhash_pairs_ctes(n_perm, n_bands, shingle_k, seed)}
 SELECT doc_a, doc_b, jaccard_bp FROM scored
 WHERE jaccard_bp >= {threshold_bp}
 ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_clusters_sql(threshold_bp: int = 7000, n_perm: int = 64,
+                       n_bands: int = 16, shingle_k: int = 3,
+                       seed: int = 42) -> str:
+    """Full-output oracle for functions/hygiene.py dedup_clusters:
+    near-dup pairs (same CTE chain as minhash_dedup_sql) symmetrized
+    into an edge list, connected components via a recursive
+    reachability closure (label = MIN doc_id over each node's
+    component), every document labeled (singletons label themselves)."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes(n_perm, n_bands, shingle_k, seed)},
+pr AS (SELECT doc_a, doc_b FROM scored WHERE jaccard_bp >= {threshold_bp}),
+ed AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       UNION SELECT doc_b AS src, doc_a AS dst FROM pr),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN ed e ON r.node = e.src)
+SELECT node AS doc_id, MIN(lab) AS cluster_id,
+       CAST(node = MIN(lab) AS BIGINT) AS keep
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def decontaminate_sql(k: int = 5, holdout_mod: int = 97) -> str:
+    """Oracle for functions/hygiene.py decontaminate: a document is
+    contaminated iff it shares any k-token-window hash with the held-out
+    set (doc_id % holdout_mod = 0). Windows only — docs with < k tokens
+    contribute nothing (the shingle fallback hash is excluded on both
+    sides, matching the Ray implementation's valid-window mask)."""
+    return f"""
+WITH {shingle_ctes(k)},
+grams AS (SELECT s.doc_id, s.sh FROM shv s
+          JOIN tokh t ON t.doc_id = s.doc_id WHERE t.n >= {k}),
+hold AS (SELECT DISTINCT sh FROM grams WHERE doc_id % {holdout_mod} = 0),
+hits AS (SELECT DISTINCT g.doc_id FROM grams g
+         JOIN hold h ON h.sh = g.sh
+         WHERE g.doc_id % {holdout_mod} <> 0)
+SELECT d.doc_id,
+       CAST(h.doc_id IS NOT NULL AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {holdout_mod} <> 0
+ORDER BY d.doc_id
 """
