@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
+        "ann_topk_ivfpq": ann.ann_topk_ivfpq,
         # flagship: index build + BM25 serving (non-SQL → rows-only check)
         "search_bm25": _search_bm25,
         # reference-exact compat ranking, distributed per chunk

@@ -59,3 +59,45 @@ def test_ivf_recall_and_determinism(ray_session, sf_dir):
         set(exact.column("vec_id").to_pylist())
     assert len(overlap) >= 5, overlap
     assert ann_topk_ivf(sf_dir, k=10).equals(ivf)  # cached + deterministic
+
+
+def test_ivfpq_recall_compression_determinism(ray_session, sf_dir):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.functions.ann import (ann_topk, ann_topk_ivfpq,
+                                                 build_ann_ivfpq_index)
+
+    exact = ann_topk(sf_dir, k=10)
+    pq10 = ann_topk_ivfpq(sf_dir, k=10)
+    e = set(exact.column("vec_id").to_pylist())
+    overlap = e & set(pq10.column("vec_id").to_pylist())
+    assert len(overlap) >= 9, overlap
+    # widening the rerank pool recovers any ADC approximation loss
+    wide = ann_topk_ivfpq(sf_dir, k=10, nprobe=16, rerank=200)
+    assert len(e & set(wide.column("vec_id").to_pylist())) >= 9
+    # cached index + deterministic query
+    assert ann_topk_ivfpq(sf_dir, k=10).equals(pq10)
+    # the ADC scan's columns are genuinely small: code columns together
+    # must be far below the raw embedding column (the 100-TB story is
+    # that the hot scan reads 8 uint8 columns, not the float vectors)
+    idx = build_ann_ivfpq_index(sf_dir)
+    code_bytes = emb_bytes = 0
+    for cid_dir in os.listdir(idx):
+        if not cid_dir.startswith("cid="):
+            continue
+        for f in os.listdir(os.path.join(idx, cid_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(idx, cid_dir, f))
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    sz = col.total_compressed_size
+                    if col.path_in_schema.startswith("c"):
+                        code_bytes += sz
+                    elif col.path_in_schema.startswith("embedding"):
+                        emb_bytes += sz
+    assert code_bytes * 5 < emb_bytes, (code_bytes, emb_bytes)
