@@ -6,13 +6,14 @@ Decode reality, by modality:
   PCM16 via the stdlib ``wave`` module) and AudioFrameSample parses them
   back with ``wave``; the fake byte-energy path remains only as the
   fallback for non-WAV payloads.
-- image: REAL for BMP — synth_media_table writes genuine 24-bit BMPs
-  and ImageDecodeResize decodes them with the pure-numpy codec below
-  (no deps). JPEG/PNG go through PIL when importable (detected once
-  per actor in __init__); ``decoder="real"`` raises if PIL is absent,
-  ``strict=True`` raises on any payload that is neither BMP nor
-  PIL-decodable (the explicit marker for the codecs this container
-  lacks).
+- image: REAL for BMP and PNG — synth_media_table alternates genuine
+  24-bit BMPs and 8-bit PNGs, and ImageDecodeResize decodes both with
+  the zero-dependency codecs below (pure numpy for BMP; stdlib zlib +
+  numpy defiltering for PNG, all five row filters). JPEG goes through
+  PIL when importable (detected once per actor in __init__);
+  ``decoder="real"`` raises if PIL is absent, ``strict=True`` raises on
+  any payload that is neither BMP, PNG, nor PIL-decodable (the explicit
+  marker for the one codec this container lacks).
 The Ray-side plumbing is real and tested either way: schemas, actor
 signature (decode state in __init__), small batch sizes for large
 binary payloads, and the output layout a downstream training pipeline
@@ -106,6 +107,99 @@ def bmp_decode(payload: bytes) -> np.ndarray:
     return img[::-1] if flip else img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Encode (H, W, 3) or (H, W, 4) uint8 as a real PNG (8-bit,
+    non-interlaced, filter 0 rows) — stdlib zlib only."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    color = {3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    raw[:, 1:] = arr.reshape(h, w * ch)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced greyscale/RGB/RGBA PNG to
+    (H, W, 3) uint8 RGB — stdlib zlib + numpy defiltering (all five
+    filter types; Sub as a modular prefix-sum, Up vectorized, Avg and
+    Paeth per-row). Raises ValueError on anything else."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    ch = {0: 1, 2: 3, 6: 4}.get(color)
+    if ch is None or depth != 8 or interlace:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} "
+            f"interlace={interlace}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    raw = raw.reshape(h, 1 + stride)
+    ftypes, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f, row = int(ftypes[y]), rows[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = row
+        elif f == 1:   # Sub: modular prefix sum per byte lane
+            lanes = row.reshape(-1, ch).astype(np.uint32)
+            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(
+                np.uint8).reshape(-1)
+        elif f == 2:   # Up
+            out[y] = row + prev
+        elif f == 3:   # Average (left is sequential per pixel)
+            cur = out[y]
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (int(row[x]) + (int(left) + int(prev[x])) // 2) \
+                    % 256
+        elif f == 4:   # Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa_ <= pb and pa_ <= pc_ else \
+                    (b if pb <= pc_ else c)
+                cur[x] = (int(row[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
+
+
 def _bmp_payload(rng: np.random.Generator, w: int, h: int) -> bytes:
     """A real BMP with deterministic gradient+noise pixel content."""
     yy, xx = np.mgrid[0:h, 0:w]
@@ -131,14 +225,18 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         elif kind == "image":
             payload = _bmp_payload(rng, 64 + (i % 8) * 32,
                                    48 + (i % 6) * 32)
+            if i % 2:  # alternate real container formats
+                payload = png_encode(bmp_decode(payload))
         else:
             payload = rng.integers(0, 256, size=256 + (i % 5) * 128,
                                    dtype=np.uint8).tobytes()
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["mime"].append({"image": "image/bmp", "audio": "audio/wav",
-                             "video": "video/mp4"}[kind])
+        mime = ("image/png" if kind == "image" and i % 2
+                else {"image": "image/bmp", "audio": "audio/wav",
+                      "video": "video/mp4"}[kind])
+        rows["mime"].append(mime)
         rows["width"].append(64 + (i % 8) * 32 if kind != "audio" else 0)
         rows["height"].append(48 + (i % 6) * 32 if kind != "audio" else 0)
         rows["sample_rate"].append(16000 if kind == "audio" else 0)
@@ -179,6 +277,9 @@ class ImageDecodeResize:
         if payload[:2] == b"BM":
             # REAL decode, zero deps: 24-bit BMP via the numpy codec
             return bmp_decode(payload)
+        if payload[:8] == _PNG_SIG:
+            # REAL decode, zero deps: stdlib-zlib PNG codec
+            return png_decode(payload)
         if self._pil is not None:
             import io
             try:
@@ -190,8 +291,8 @@ class ImageDecodeResize:
                 # auto: payload isn't a decodable image → fall through
         if self.strict:
             raise NotImplementedError(
-                "payload is neither BMP nor PIL-decodable; JPEG/PNG "
-                "codecs unavailable in this container")
+                "payload is neither BMP, PNG, nor PIL-decodable; the "
+                "JPEG codec is unavailable in this container")
         raw = np.frombuffer(payload, dtype=np.uint8)
         reps = -(-(w * h * 3) // len(raw))
         return np.tile(raw, reps)[:w * h * 3].reshape(h, w, 3)
