@@ -52,9 +52,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": textstats.gopher_quality,
         "quality_score": textstats.quality_score,
         "fingerprints": textstats.fingerprints,
-        # multimodal plumbing (stubbed decode, real actor-pool stages)
+        # multimodal actor-pool stages (real in-container decode: WAV,
+        # BMP, PNG, animated GIF; only JPEG/mp4-class codecs stubbed)
         "media_image_features": _media_images,
         "media_audio_frames": _media_audio,
+        "media_video_frames": _media_video,
         # link graph (F8 / anchor capture)
         "link_edges": _link_edges,
         "link_indegree": _link_indegree,
@@ -145,14 +147,21 @@ def _search_bm25(sf_dir: str) -> Any:
 def _media_images(sf_dir: str) -> Any:
     from search_engine_ray.functions.multimodal import media_pipeline
 
-    images, _ = media_pipeline()
+    images, _, _ = media_pipeline()
     return images
+
+
+def _media_video(sf_dir: str) -> Any:
+    from search_engine_ray.functions.multimodal import media_pipeline
+
+    _, _, video = media_pipeline()
+    return video
 
 
 def _media_audio(sf_dir: str) -> Any:
     from search_engine_ray.functions.multimodal import media_pipeline
 
-    _, audio = media_pipeline()
+    _, audio, _ = media_pipeline()
     return audio
 
 

@@ -110,6 +110,186 @@ def bmp_decode(payload: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# ---------------------------------------------------------------------------
+# GIF89a codec (animated, global 256-color palette, real LZW both ways,
+# stdlib only) — gives the video modality a genuine multi-frame container
+# so frame sampling decodes actual pixels, like WAV/BMP/PNG do for
+# audio/images.
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW: growing code width, clear/EOI codes, LSB-first
+    bit packing."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    out_bits.append((clear, width))
+    prefix = b""
+    for sym in indices.tolist():
+        cand = prefix + bytes([sym])
+        if cand in table:
+            prefix = cand
+            continue
+        out_bits.append((table[prefix], width))
+        table[cand] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            out_bits.append((clear, width))
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        prefix = bytes([sym])
+    if prefix:
+        out_bits.append((table[prefix], width))
+    out_bits.append((eoi, width))
+    acc = n = 0
+    data = bytearray()
+    for code, wd in out_bits:
+        acc |= code << n
+        n += wd
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> np.ndarray:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    acc = n = pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while n < width:
+            if pos >= len(data):
+                return np.frombuffer(bytes(out), dtype=np.uint8)
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table = table[: eoi + 1]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return np.frombuffer(bytes(out), dtype=np.uint8)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    raise ValueError("unterminated LZW stream")
+
+
+def _gif_palette() -> np.ndarray:
+    """Web-safe 6x6x6 cube padded to 256 — the synth corpus draws frame
+    pixels from it so encoding is exact palette lookup, no quantizer."""
+    levels = np.arange(6) * 51
+    cube = np.stack(np.meshgrid(levels, levels, levels,
+                                indexing="ij"), axis=-1).reshape(-1, 3)
+    return np.vstack([cube, np.zeros((256 - 216, 3))]).astype(np.uint8)
+
+
+def gif_encode(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """Encode (H, W) uint8 palette-index frames as a real animated
+    GIF89a (global web-safe palette, real LZW)."""
+    import struct
+
+    h, w = frames[0].shape
+    pal = _gif_palette()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256
+    out += pal.tobytes()
+    out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0" + \
+        bytes([3, 1, 0, 0, 0])  # loop forever
+    for fr in frames:
+        out += bytes([0x21, 0xF9, 4, 0]) + struct.pack(
+            "<H", delay_ms // 10) + bytes([0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + \
+            bytes([0])
+        mcs = 8
+        out += bytes([mcs])
+        lzw = _lzw_encode(fr.reshape(-1), mcs)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i: i + 255]
+            out += bytes([len(blk)]) + blk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def gif_decode(payload: bytes) -> list[np.ndarray]:
+    """Decode an animated GIF to a list of (H, W, 3) uint8 RGB frames —
+    stdlib only. Non-interlaced, full-canvas frames (what gif_encode
+    writes); raises ValueError otherwise."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gpal = None
+    if packed & 0x80:
+        size = 3 * (2 << (packed & 7))
+        gpal = np.frombuffer(payload, np.uint8, size, pos).reshape(-1, 3)
+        pos += size
+    frames = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            left, top, fw, fh, fpacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = gpal
+            if fpacked & 0x80:
+                size = 3 * (2 << (fpacked & 7))
+                pal = np.frombuffer(payload, np.uint8, size,
+                                    pos).reshape(-1, 3)
+                pos += size
+            if fpacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if (left, top, fw, fh) != (0, 0, w, h):
+                raise ValueError("partial-canvas GIF frame unsupported")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1: pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), mcs)[: w * h].reshape(h, w)
+            frames.append(pal[idx])
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    return frames
+
+
 def png_encode(arr: np.ndarray) -> bytes:
     """Encode (H, W, 3) or (H, W, 4) uint8 as a real PNG (8-bit,
     non-interlaced, filter 0 rows) — stdlib zlib only."""
@@ -211,10 +391,25 @@ def _bmp_payload(rng: np.random.Generator, w: int, h: int) -> bytes:
     return bmp_encode(((base + noise) % 256).astype(np.uint8))
 
 
+def _gif_payload(rng: np.random.Generator, w: int, h: int,
+                 n_frames: int, delay_ms: int) -> bytes:
+    """A real animated GIF: drifting gradient frames over the web-safe
+    palette's 6x6x6 cube (indices computed directly, so encode is exact
+    lookup — no quantizer)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for f in range(n_frames):
+        r = (xx * 5 // max(w - 1, 1) + f) % 6
+        g = (yy * 5 // max(h - 1, 1)) % 6
+        b = rng.integers(0, 6, size=(h, w))
+        frames.append((r * 36 + g * 6 + b).astype(np.uint8))
+    return gif_encode(frames, delay_ms)
+
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic media corpus: audio rows carry REAL WAV payloads,
-    image rows REAL 24-bit BMPs (both decoded for real by the stages
-    below, with zero codec deps); video payloads stay seeded bytes."""
+    image rows REAL BMPs/PNGs, video rows REAL animated GIF89a — every
+    modality decodes for real with zero codec deps."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
@@ -228,19 +423,26 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             if i % 2:  # alternate real container formats
                 payload = png_encode(bmp_decode(payload))
         else:
-            payload = rng.integers(0, 256, size=256 + (i % 5) * 128,
-                                   dtype=np.uint8).tobytes()
+            payload = _gif_payload(rng, 32 + (i % 4) * 16,
+                                   24 + (i % 3) * 16,
+                                   n_frames=4 + i % 5, delay_ms=100)
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
         mime = ("image/png" if kind == "image" and i % 2
                 else {"image": "image/bmp", "audio": "audio/wav",
-                      "video": "video/mp4"}[kind])
+                      "video": "image/gif"}[kind])
         rows["mime"].append(mime)
-        rows["width"].append(64 + (i % 8) * 32 if kind != "audio" else 0)
-        rows["height"].append(48 + (i % 6) * 32 if kind != "audio" else 0)
+        rows["width"].append(32 + (i % 4) * 16 if kind == "video"
+                             else (64 + (i % 8) * 32 if kind == "image"
+                                   else 0))
+        rows["height"].append(24 + (i % 3) * 16 if kind == "video"
+                              else (48 + (i % 6) * 32 if kind == "image"
+                                    else 0))
         rows["sample_rate"].append(16000 if kind == "audio" else 0)
-        rows["duration_ms"].append(1000 + i * 37 if kind != "image" else 0)
+        rows["duration_ms"].append(
+            (4 + i % 5) * 100 if kind == "video"
+            else (1000 + i * 37 if kind == "audio" else 0))
     return pa.table({f.name: pa.array(rows[f.name], f.type)
                      for f in MEDIA_SCHEMA})
 
@@ -383,10 +585,70 @@ class AudioFrameSample:
         })
 
 
+class VideoFrameSample:
+    """Actor-pool stage: decode video payloads into frames, sample every
+    ``stride``-th frame, downsample each to out_w × out_h CHW float
+    features (one output row per sampled frame).
+
+    Decode is REAL for animated GIF89a (the zero-dep LZW codec above).
+    Other containers (mp4 etc. need ffmpeg-class codecs this container
+    lacks) fall back to a single deterministic fake frame;
+    ``strict=True`` raises instead."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16, stride: int = 2,
+                 strict: bool = False):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.stride = stride
+        self.strict = strict
+
+    def _decode(self, payload: bytes) -> list[np.ndarray]:
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return gif_decode(payload)
+        if self.strict:
+            raise NotImplementedError(
+                "non-GIF video codecs unavailable in this container")
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        side = 16
+        reps = -(-(side * side * 3) // len(raw))
+        return [np.tile(raw, reps)[: side * side * 3]
+                .reshape(side, side, 3)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.filter(pc.equal(batch.column("kind"), "video"))
+        ids = vids.column("media_id").to_numpy(zero_copy_only=False)
+        payloads = vids.column("payload").to_pylist()
+        dim = self.out_w * self.out_h * 3
+        o_id, o_frame, o_feat = [], [], []
+        for i in range(len(ids)):
+            frames = self._decode(payloads[i])
+            for fi in range(0, len(frames), self.stride):
+                img = frames[fi]
+                ys = np.arange(self.out_h) * img.shape[0] // self.out_h
+                xs = np.arange(self.out_w) * img.shape[1] // self.out_w
+                small = img[ys][:, xs].astype(np.float32) / 255.0
+                o_id.append(ids[i])
+                o_frame.append(fi)
+                o_feat.append(small.transpose(2, 0, 1).ravel())
+        feats = (np.stack(o_feat) if o_feat
+                 else np.empty((0, dim), dtype=np.float32))
+        return pa.table({
+            "media_id": pa.array(np.asarray(o_id, dtype=np.int64),
+                                 pa.int64()),
+            "frame": pa.array(np.asarray(o_frame, dtype=np.int32),
+                              pa.int32()),
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1), pa.float32()), dim).cast(
+                    pa.list_(pa.float32())),
+            "feat_dim": pa.array(np.full(len(o_id), dim, dtype=np.int32),
+                                 pa.int32()),
+        })
+
+
 def media_pipeline(n: int = 64):
     """Demo pipeline over the synthetic media table: decode+resize images
-    (actor pool, small batches for wide binary rows) and frame-sample
-    audio; returns (image_features, audio_frames) datasets."""
+    (actor pool, small batches for wide binary rows), frame-sample audio
+    and video; returns (image_features, audio_frames, video_frames)."""
     import ray.data as rd
 
     # from_arrow yields ONE block; split it so the 2-actor pools get
@@ -396,4 +658,6 @@ def media_pipeline(n: int = 64):
                                batch_size=8, concurrency=2)
     audio = media.map_batches(AudioFrameSample, batch_format="pyarrow",
                               batch_size=8, concurrency=2)
-    return images, audio
+    video = media.map_batches(VideoFrameSample, batch_format="pyarrow",
+                              batch_size=8, concurrency=2)
+    return images, audio, video
