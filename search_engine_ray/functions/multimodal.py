@@ -6,14 +6,15 @@ Decode reality, by modality:
   PCM16 via the stdlib ``wave`` module) and AudioFrameSample parses them
   back with ``wave``; the fake byte-energy path remains only as the
   fallback for non-WAV payloads.
-- image: REAL for BMP and PNG — synth_media_table alternates genuine
-  24-bit BMPs and 8-bit PNGs, and ImageDecodeResize decodes both with
-  the zero-dependency codecs below (pure numpy for BMP; stdlib zlib +
-  numpy defiltering for PNG, all five row filters). JPEG goes through
-  PIL when importable (detected once per actor in __init__);
+- image: REAL for BMP, PNG and JPEG — synth_media_table rotates genuine
+  24-bit BMPs, 8-bit PNGs, and baseline JFIF JPEGs (4:4:4 and 4:2:0),
+  and ImageDecodeResize decodes all three with the zero-dependency
+  codecs (pure numpy for BMP; stdlib zlib + numpy defiltering for PNG,
+  all five row filters; functions/jpeg.py for JPEG — spec Annex K
+  tables, Huffman entropy coding, exact orthonormal DCT). PIL remains a
+  fallback for formats outside those codecs (progressive JPEG etc.);
   ``decoder="real"`` raises if PIL is absent, ``strict=True`` raises on
-  any payload that is neither BMP, PNG, nor PIL-decodable (the explicit
-  marker for the one codec this container lacks).
+  any payload none of the real codecs accept.
 The Ray-side plumbing is real and tested either way: schemas, actor
 signature (decode state in __init__), small batch sizes for large
 binary payloads, and the output layout a downstream training pipeline
@@ -420,8 +421,16 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         elif kind == "image":
             payload = _bmp_payload(rng, 64 + (i % 8) * 32,
                                    48 + (i % 6) * 32)
-            if i % 2:  # alternate real container formats
+            variant = (i // 3) % 4  # rotate real container formats
+            if variant == 1:
                 payload = png_encode(bmp_decode(payload))
+            elif variant == 2:
+                from .jpeg import jpeg_encode
+                payload = jpeg_encode(bmp_decode(payload), quality=95)
+            elif variant == 3:
+                from .jpeg import jpeg_encode
+                payload = jpeg_encode(bmp_decode(payload), quality=95,
+                                      subsample=True)
         else:
             payload = _gif_payload(rng, 32 + (i % 4) * 16,
                                    24 + (i % 3) * 16,
@@ -429,9 +438,11 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        mime = ("image/png" if kind == "image" and i % 2
-                else {"image": "image/bmp", "audio": "audio/wav",
-                      "video": "image/gif"}[kind])
+        if kind == "image":
+            mime = {1: "image/png", 2: "image/jpeg",
+                    3: "image/jpeg"}.get((i // 3) % 4, "image/bmp")
+        else:
+            mime = {"audio": "audio/wav", "video": "image/gif"}[kind]
         rows["mime"].append(mime)
         rows["width"].append(32 + (i % 4) * 16 if kind == "video"
                              else (64 + (i % 8) * 32 if kind == "image"
@@ -482,6 +493,15 @@ class ImageDecodeResize:
         if payload[:8] == _PNG_SIG:
             # REAL decode, zero deps: stdlib-zlib PNG codec
             return png_decode(payload)
+        if payload[:2] == b"\xff\xd8":
+            # REAL decode, zero deps: baseline-JFIF codec (functions/
+            # jpeg.py — 4:4:4 and 4:2:0; progressive raises and falls
+            # through to PIL/strict below)
+            from .jpeg import jpeg_decode
+            try:
+                return jpeg_decode(payload)
+            except ValueError:
+                pass
         if self._pil is not None:
             import io
             try:
@@ -493,8 +513,9 @@ class ImageDecodeResize:
                 # auto: payload isn't a decodable image → fall through
         if self.strict:
             raise NotImplementedError(
-                "payload is neither BMP, PNG, nor PIL-decodable; the "
-                "JPEG codec is unavailable in this container")
+                "payload is not BMP/PNG/baseline-JPEG (nor "
+                "PIL-decodable); progressive-JPEG and exotic codecs "
+                "are unavailable in this container")
         raw = np.frombuffer(payload, dtype=np.uint8)
         reps = -(-(w * h * 3) // len(raw))
         return np.tile(raw, reps)[:w * h * 3].reshape(h, w, 3)

@@ -397,3 +397,59 @@ def test_video_decode_is_real_gif(ray_session):
     # the full pipeline runs the video branch
     _, _, video = media_pipeline(24)
     assert video.to_pandas().groupby("media_id").size().min() >= 1
+
+
+def test_jpeg_codec_roundtrip(ray_session):
+    """The zero-dep baseline-JFIF codec: 4:4:4 and 4:2:0 encode→decode
+    stay within lossy-compression tolerance on smooth content, exercise
+    restart-free Huffman entropy coding across quality levels, and the
+    decoder rejects what it does not implement."""
+    import pytest as _pytest
+
+    from search_engine_ray.functions.jpeg import jpeg_decode, jpeg_encode
+
+    h, w = 41, 57
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx * 255 // (w - 1), yy * 255 // (h - 1),
+                    (xx + yy) * 255 // (w + h - 2)],
+                   axis=-1).astype(np.uint8)
+    for subsample, tol in ((False, 4), (True, 10)):
+        dec = jpeg_decode(jpeg_encode(img, quality=95,
+                                      subsample=subsample))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= tol, (subsample, err.max())
+    # noisy content at a lower quality still decodes to the right shape
+    rng = np.random.default_rng(1)
+    noisy = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(noisy, quality=60))
+    assert dec.shape == noisy.shape
+    with _pytest.raises(ValueError):
+        jpeg_decode(b"\x00not a jpeg")
+
+
+def test_image_decode_is_real_jpeg(ray_session):
+    """JPEG synth payloads are genuine JFIF and the stage's features
+    come from the codec's actual pixel output."""
+    from search_engine_ray.functions.jpeg import jpeg_decode
+    from search_engine_ray.functions.multimodal import (ImageDecodeResize,
+                                                        synth_media_table)
+
+    t = synth_media_table(24)
+    img_rows = t.filter(pa.compute.equal(t.column("kind"), "image"))
+    mimes = img_rows.column("mime").to_pylist()
+    assert "image/jpeg" in mimes
+    i = mimes.index("image/jpeg")
+    payload = img_rows.column("payload")[i].as_py()
+    assert payload[:2] == b"\xff\xd8"
+    img = jpeg_decode(payload)
+    assert img.shape == (int(img_rows.column("height")[i].as_py()),
+                         int(img_rows.column("width")[i].as_py()), 3)
+    out = ImageDecodeResize(out_w=8, out_h=8, strict=True)(t)
+    mid = img_rows.column("media_id")[i].as_py()
+    row = out.to_pandas().set_index("media_id").loc[mid]
+    feats = np.asarray(row["features"], dtype=np.float32).reshape(3, 8, 8)
+    ys = np.arange(8) * img.shape[0] // 8
+    xs = np.arange(8) * img.shape[1] // 8
+    expect = (img[ys][:, xs].astype(np.float32) / 255.0).transpose(2, 0, 1)
+    assert np.array_equal(feats, expect)
