@@ -233,8 +233,14 @@ LIMIT 50
     from search_engine_ray.functions.links import pagerank_sql
     out["link_pagerank"] = pagerank_sql(n_iter=3, k=50)
     # ngram_jaccard_pairs: exact Jaccard over consecutive doc-id pairs
-    from search_engine_ray.functions.dedup import SQL_NGRAM_JACCARD
+    from search_engine_ray.functions.dedup import (SQL_NGRAM_JACCARD,
+                                                   ngram_jaccard_sql)
     out["ngram_jaccard_pairs"] = SQL_NGRAM_JACCARD
+    # ngram_jaccard: same oracle over the entry's fixed pair list
+    vals = ", ".join(f"({i}, {i + 1})" for i in range(0, 100, 2))
+    out["ngram_jaccard"] = ngram_jaccard_sql(
+        f"SELECT v.c0 AS doc_a, v.c1 AS doc_b "
+        f"FROM (VALUES {vals}) v(c0, c1)")
     # hashing-kernel oracles: FNV-1a / shingle-mix / avalanche / SimHash
     # / MinHash restated in HUGEINT SQL, bit-exact vs the numpy kernels
     from search_engine_ray.functions import sql_hash

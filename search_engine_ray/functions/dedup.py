@@ -426,6 +426,17 @@ def ngram_jaccard_consecutive(sf_dir: str, k: int = 3,
 # shingle strings per doc (short docs fall back to one whole-doc
 # shingle, mirroring shingle_hash_batch), intersection via equi-join,
 # jaccard in integer basis points (i * 10000 // union).
+def ngram_jaccard_sql(pairs_cte: str) -> str:
+    """The n-gram-Jaccard oracle parameterized by its pair list (a SQL
+    select yielding (doc_a, doc_b)) — shared by the consecutive-pair
+    operator and the fixed-pair-list ngram_jaccard entry."""
+    return SQL_NGRAM_JACCARD.replace(_CONSECUTIVE_PAIRS, pairs_cte)
+
+
+_CONSECUTIVE_PAIRS = """SELECT d1.doc_id AS doc_a, d1.doc_id + 1 AS doc_b
+          FROM documents d1 JOIN documents d2
+            ON d2.doc_id = d1.doc_id + 1"""
+
 SQL_NGRAM_JACCARD = r"""
 WITH t AS (SELECT doc_id,
              string_split_regex(trim(lower(text)), '\s+') AS toks
