@@ -175,7 +175,8 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (pre-RST-marker state)."""
         if self.n:
             pad = 8 - self.n
             byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
@@ -183,6 +184,13 @@ class _BitWriter:
             if byte == 0xFF:
                 self.buf.append(0x00)
             self.acc = self.n = 0
+
+    def raw(self, data: bytes) -> None:
+        """Emit marker bytes verbatim (caller must align() first)."""
+        self.buf += data
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -226,9 +234,12 @@ def _emit_block(bw, zz, enc_dc, enc_ac, prev_dc, ci) -> None:
 
 
 def jpeg_encode(arr: np.ndarray, quality: int = 90,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
     """Encode (H, W, 3) uint8 RGB as baseline JFIF — 4:4:4 by default,
-    4:2:0 (2x2-mean chroma downsample) with subsample=True."""
+    4:2:0 (2x2-mean chroma downsample) with subsample=True; a nonzero
+    restart_interval emits DRI + RSTn markers every that many MCUs
+    (byte-aligned, DC predictors reset)."""
     h, w, _ = arr.shape
     ycc = _rgb_to_ycbcr(arr)
     ql = _scaled_quant(QUANT_LUMA, quality)
@@ -264,8 +275,17 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
+    mcu_count = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                bw.align()
+                bw.raw(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) & 7
+                prev_dc = [0, 0, 0]
+            mcu_count += 1
             for ci in range(3):
                 ch, cv = sampling[ci]
                 ti = 0 if ci == 0 else 1
@@ -293,6 +313,8 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
     for tc_th, (bits, values) in ((0x00, DC_LUMA), (0x01, DC_CHROMA),
                                   (0x10, AC_LUMA), (0x11, AC_CHROMA)):
         out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(values))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + \
         bytes([0, 63, 0])
     out += seg(0xFFDA, sos)
@@ -476,6 +498,7 @@ def _decode_scan(payload, pos, scan, qtabs, htabs, h, w,
                     and mcu_count % restart_interval == 0:
                 br.acc = 0
                 br.n = 0  # RST resync handled by the reader
+                prev_dc = [0] * len(scan)  # spec: DC predictors reset
             mcu_count += 1
             for si, (c, td, ta) in enumerate(scan):
                 for by in range(c["v"]):

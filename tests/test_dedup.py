@@ -424,6 +424,11 @@ def test_jpeg_codec_roundtrip(ray_session):
     noisy = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
     dec = jpeg_decode(jpeg_encode(noisy, quality=60))
     assert dec.shape == noisy.shape
+    # restart markers: DRI + RSTn byte-aligned resync, DC predictor reset
+    for ri in (1, 3):
+        d = jpeg_decode(jpeg_encode(img, quality=95,
+                                    restart_interval=ri))
+        assert np.abs(d.astype(int) - img.astype(int)).max() <= 4
     with _pytest.raises(ValueError):
         jpeg_decode(b"\x00not a jpeg")
 
