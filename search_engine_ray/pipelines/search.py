@@ -135,6 +135,18 @@ def pure_disjunction_terms(node, idf: dict[str, float],
 _EMPTY = np.empty(0, dtype=np.int64)
 
 
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two sorted-unique arrays by probing the larger
+    with the smaller — O(min log max), no concatenate-and-sort."""
+    if len(a) > len(b):
+        a, b = b, a
+    if not len(a) or not len(b):
+        return a[:0]
+    ix = np.searchsorted(b, a)
+    ix[ix == len(b)] = 0
+    return a[b[ix] == a]
+
+
 def _topk_tie_aware(docs: np.ndarray, scores: np.ndarray, k: int
                     ) -> np.ndarray:
     """Indices of the lexicographic (-score, doc_id) top-k in O(n):
@@ -175,6 +187,8 @@ class ShardIndex:
         self._terms = t.column("term").combine_chunks()
         self._table = t
         self._cache: dict[str, seg.TermPostings] = {}
+        self._dense: dict[str, np.ndarray] = {}
+        self._phrase_cache: dict[tuple, np.ndarray] = {}
         d = pq.read_table(doc_path, memory_map=True,
                           columns=["doc_id", "url", "title", "dl"])
         order = np.argsort(d.column("doc_id").to_numpy())
@@ -224,6 +238,17 @@ class ShardIndex:
         idx = np.searchsorted(self.doc_ids, cand)
         return self.dls[idx]
 
+    def _dense_idx(self, term: str, tp) -> np.ndarray:
+        """Positions of a term's postings in the shard's dense doc order
+        — computed once per term per actor (int32, +4 B/posting) so the
+        dense scoring path never re-probes doc_ids at query time."""
+        di = self._dense.get(term)
+        if di is None:
+            di = np.searchsorted(self.doc_ids, tp.doc_ids).astype(
+                np.int32)
+            self._dense[term] = di
+        return di
+
     # -- boolean algebra ----------------------------------------------------
     def eval(self, node) -> np.ndarray:
         if node is None:
@@ -261,6 +286,59 @@ class ShardIndex:
             return _EMPTY
         raise TypeError(type(node))
 
+    def _eval_mask(self, node) -> np.ndarray:
+        """Dense-bitmap twin of eval(): same result set as a bool mask
+        over the shard's dense doc order. Set algebra becomes bitwise
+        AND/OR/ANDNOT over n_docs bools — no sorts, no merges — with
+        leaf membership filled from the cached dense posting positions.
+        Used by score_topk when the plan's leaf postings are a sizable
+        fraction of the shard (the sorted-array algebra wins for highly
+        selective plans on big shards)."""
+        n = len(self.doc_ids)
+        if node is None:
+            return np.zeros(n, dtype=bool)
+        if isinstance(node, qc.Word):
+            m = np.zeros(n, dtype=bool)
+            tp = self.lookup(node.stem_)
+            if tp is not None:
+                m[self._dense_idx(node.stem_, tp)] = True
+            return m
+        if isinstance(node, qc.Phrase):
+            docs = self._eval_phrase([s for s in node.stems if s])
+            m = np.zeros(n, dtype=bool)
+            if len(docs):
+                m[np.searchsorted(self.doc_ids, docs)] = True
+            return m
+        if isinstance(node, qc.And):
+            l, r = node.left, node.right
+            if isinstance(r, qc.Not):
+                m = self._eval_mask(l)
+                m &= ~self._eval_mask(r.child)
+                return m
+            if isinstance(l, qc.Not):
+                m = self._eval_mask(r)
+                m &= ~self._eval_mask(l.child)
+                return m
+            m = self._eval_mask(l)
+            m &= self._eval_mask(r)
+            return m
+        if isinstance(node, (qc.Or, qc.SynOr)):
+            leaves: list[str] = []
+            if self._collect_or_words(node, leaves):
+                m = np.zeros(n, dtype=bool)
+                for t in leaves:
+                    tp = self.lookup(t)
+                    if tp is not None:
+                        m[self._dense_idx(t, tp)] = True
+                return m
+            rest = node.right if isinstance(node, qc.Or) else node.rest
+            m = self._eval_mask(node.left)
+            m |= self._eval_mask(rest)
+            return m
+        if isinstance(node, qc.Not):
+            return np.zeros(n, dtype=bool)
+        raise TypeError(type(node))
+
     @staticmethod
     def _collect_or_words(node, out: list[str]) -> bool:
         if node is None:
@@ -279,6 +357,17 @@ class ShardIndex:
     def _eval_phrase(self, terms: list[str]) -> np.ndarray:
         if not terms:
             return _EMPTY
+        key = tuple(terms)
+        hit = self._phrase_cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._eval_phrase_uncached(terms)
+        if len(self._phrase_cache) >= 512:  # bounded (index immutable)
+            self._phrase_cache.pop(next(iter(self._phrase_cache)))
+        self._phrase_cache[key] = out
+        return out
+
+    def _eval_phrase_uncached(self, terms: list[str]) -> np.ndarray:
         tps = []
         for t in terms:
             tp = self.lookup(t)
@@ -287,7 +376,7 @@ class ShardIndex:
             tps.append(tp)
         cand = tps[0].doc_ids
         for tp in tps[1:]:
-            cand = np.intersect1d(cand, tp.doc_ids, assume_unique=True)
+            cand = _intersect_sorted(cand, tp.doc_ids)
             if not len(cand):
                 return _EMPTY
         # vectorized adjacency check across ALL candidates at once: pack
@@ -297,7 +386,8 @@ class ShardIndex:
         # × candidates × terms here)
         idxs = [np.searchsorted(tp.doc_ids, cand) for tp in tps]
 
-        def flat_keys(tp, idx: np.ndarray, shift: int) -> np.ndarray:
+        def flat_keys(tp, idx: np.ndarray, shift: int,
+                      ords_out: np.ndarray | None = None) -> np.ndarray:
             starts = tp.pos_offsets[idx]
             ln = tp.pos_offsets[idx + 1] - starts
             total = int(ln.sum())
@@ -307,7 +397,9 @@ class ShardIndex:
             offs = np.arange(total, dtype=np.int64) - np.repeat(
                 np.cumsum(ln) - ln, ln)
             pos = tp.positions[base + offs] - shift
-            ords = np.repeat(np.arange(len(idx), dtype=np.int64), ln)
+            src = (np.arange(len(idx), dtype=np.int64)
+                   if ords_out is None else ords_out)
+            ords = np.repeat(src, ln)
             keep = pos >= 0
             return (ords[keep] << np.int64(32)) | pos[keep]
 
@@ -315,11 +407,21 @@ class ShardIndex:
         for i in range(1, len(tps)):
             if not len(keys):
                 return _EMPTY
-            keys = np.intersect1d(keys, flat_keys(tps[i], idxs[i], i),
-                                  assume_unique=True)
+            # only ordinals still alive in `keys` can survive the next
+            # intersection — build the next term's keys for those docs
+            # only (ordinal values preserved, so the merge stays valid)
+            ords = keys >> np.int64(32)
+            alive = ords[np.concatenate(([True],
+                                         ords[1:] != ords[:-1]))]
+            nxt = flat_keys(tps[i], idxs[i][alive], i, ords_out=alive)
+            # flat_keys output is sorted (ordinals ascend, positions
+            # ascend within each ordinal): merge-probe, never re-sort
+            keys = _intersect_sorted(keys, nxt)
         if not len(keys):
             return _EMPTY
-        return cand[np.unique(keys >> np.int64(32))]
+        ords = keys >> np.int64(32)  # nondecreasing
+        first = np.concatenate(([True], ords[1:] != ords[:-1]))
+        return cand[ords[first]]
 
     def exhaustive_topk(self, weighted_terms: list[tuple[str, float]],
                         k: int, avgdl: float) -> list[tuple[float, int]]:
@@ -486,9 +588,47 @@ class ShardIndex:
                 url, title = self.doc_meta(doc_id)
                 out.append((score, doc_id, url, title))
             return out
-        cand = self.eval(plan)
+        # heavy plans (leaf postings a sizable fraction of the shard)
+        # evaluate as dense bitmaps; selective plans keep the
+        # sorted-array algebra (identical result sets either way)
+        total_df = 0
+        for t, _ in flatten_terms(plan):
+            tp = self.lookup(t)
+            if tp is not None:
+                total_df += tp.df
+        dense_cand = None
+        if 4 * total_df >= len(self.doc_ids):
+            dense_cand = np.flatnonzero(self._eval_mask(plan))
+            cand = self.doc_ids[dense_cand]
+        else:
+            cand = self.eval(plan)
         if not len(cand):
             return []
+        if dense_cand is not None or len(self.doc_ids) <= 4 * len(cand):
+            # dense path: when the candidate set is a sizable fraction
+            # of the shard, accumulate every term's impacts into ONE
+            # full-shard score vector via its cached dense posting
+            # positions — zero searchsorted probes per term — then
+            # gather the candidates' scores. Bounded alloc: n_docs
+            # float64 ≤ 4 × |cand| × 8 B.
+            if dense_cand is None:
+                dense_cand = np.searchsorted(self.doc_ids, cand)
+            full = np.zeros(len(self.doc_ids), dtype=np.float64)
+            for term, is_syn in scoring_terms(plan):
+                tp = self.lookup(term)
+                w = idf.get(term)
+                if tp is None or w is None:
+                    continue
+                di = self._dense_idx(term, tp)
+                imp = seg.bm25_impact(tp.tfs, self.dls[di], avgdl)
+                full[di] += (SYN_WEIGHT if is_syn else 1.0) * w * imp
+            scores = full[dense_cand]
+            order = _topk_tie_aware(cand, scores, k)
+            out = []
+            for i in order:
+                url, title = self.doc_meta(int(cand[i]))
+                out.append((float(scores[i]), int(cand[i]), url, title))
+            return out
         dls = self.doc_dl(cand)
         scores = np.zeros(len(cand), dtype=np.float64)
         for term, is_syn in scoring_terms(plan):
@@ -496,14 +636,28 @@ class ShardIndex:
             w = idf.get(term)
             if tp is None or w is None:
                 continue
-            pos = np.searchsorted(tp.doc_ids, cand)
-            np.clip(pos, 0, len(tp.doc_ids) - 1, out=pos)
-            hit = tp.doc_ids[pos] == cand
-            if not hit.any():
-                continue
-            tfs = tp.tfs[pos[hit]]
-            imp = seg.bm25_impact(tfs, dls[hit], avgdl)
-            scores[hit] += (SYN_WEIGHT if is_syn else 1.0) * w * imp
+            if len(tp.doc_ids) < len(cand):
+                # rare term: probe the candidate array with the postings
+                # (O(df log C)) instead of the other way round — both
+                # sides are unique+sorted so the hit positions are
+                # unique and fancy-index += is exact
+                pos = np.searchsorted(cand, tp.doc_ids)
+                np.clip(pos, 0, len(cand) - 1, out=pos)
+                hit = cand[pos] == tp.doc_ids
+                if not hit.any():
+                    continue
+                ci = pos[hit]
+                imp = seg.bm25_impact(tp.tfs[hit], dls[ci], avgdl)
+                scores[ci] += (SYN_WEIGHT if is_syn else 1.0) * w * imp
+            else:
+                pos = np.searchsorted(tp.doc_ids, cand)
+                np.clip(pos, 0, len(tp.doc_ids) - 1, out=pos)
+                hit = tp.doc_ids[pos] == cand
+                if not hit.any():
+                    continue
+                tfs = tp.tfs[pos[hit]]
+                imp = seg.bm25_impact(tfs, dls[hit], avgdl)
+                scores[hit] += (SYN_WEIGHT if is_syn else 1.0) * w * imp
         # tie-aware O(n) top-k (argpartition alone picks an arbitrary
         # subset among ties at the k-th boundary; a full lexsort costs
         # O(n log n) per query)
