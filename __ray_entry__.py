@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated by tests/test_dedup.py recall assertions)
         "minhash_dedup": dedup.minhash_dedup,
         "simhash_dedup": dedup.simhash_dedup,
-        "embedding_neardup": dedup.embedding_neardup,
+        "embedding_neardup": _embedding_neardup,
         "ngram_jaccard": _ngram_jaccard,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_consecutive,
         # signature-level oracle surfaces (bit-exact SQL twins of the
@@ -121,6 +121,18 @@ def _sessionize(sf_dir: str) -> Any:
     from search_engine_ray.functions.sessions import sessionize
 
     return sessionize(sf_dir)
+
+
+def _embedding_neardup(sf_dir: str) -> Any:
+    """Hyperplane-bucketed cosine near-dup pairs. The synthetic
+    embeddings have no true near-dups (max off-diagonal cosine ≈ 0.51),
+    so the oracle-checked entry runs at a lower threshold / plane count
+    than the production defaults — the hash check then exercises real
+    bucket collisions and cos_bp values (342 pairs at sf0.01) instead of
+    an empty-vs-empty match."""
+    from search_engine_ray.functions.dedup import embedding_neardup
+
+    return embedding_neardup(sf_dir, threshold_bp=2500, n_planes=4)
 
 
 def _ngram_jaccard(sf_dir: str) -> Any:
@@ -255,5 +267,8 @@ LIMIT 50
     # a recursive reachability closure over the verified pair list
     out["decontaminate"] = sql_hash.decontaminate_sql()
     out["dedup_clusters"] = sql_hash.dedup_clusters_sql()
+    # embedding near-dup: literal seeded hyperplanes + list-op cosine
+    out["embedding_neardup"] = sql_hash.embedding_neardup_sql(
+        n_planes=4, threshold_bp=2500)
     # ann_topk_lsh: approximate → rows-only check (recall is pytest-gated)
     return out

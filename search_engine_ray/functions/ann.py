@@ -230,8 +230,18 @@ def _kmeans_centroids(sf_dir: str, n_centroids: int, n_iter: int
     import ray.data as rd
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = (ds.sort("vec_id").limit(n_centroids)
-             .to_pandas())
+    # init = the n_centroids lowest vec_ids, found with a per-batch
+    # min-k partial + driver merge (n_centroids rows per batch cross the
+    # wire) — NOT a distributed sort of the whole corpus for 16 rows
+
+    def _mink(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="stable")[:n_centroids]
+        return b.take(pa.array(keep.astype(np.int64)))
+
+    first = (ds.map_batches(_mink, batch_format="pyarrow",
+                            batch_size=8192).to_pandas()
+             .sort_values("vec_id").head(n_centroids))
     cents = np.stack([np.asarray(v, dtype=np.float64)
                       for v in first["embedding"]])
     for _ in range(n_iter):
@@ -413,7 +423,7 @@ def build_ann_ivfpq_index(sf_dir: str, n_centroids: int = 16,
     cfg = {"n_centroids": n_centroids, "n_iter": n_iter, "m_sub": m_sub,
            "n_codes": n_codes, "sample_cap": sample_cap,
            "src_size": st.st_size, "src_mtime_ns": st.st_mtime_ns,
-           "version": 1}
+           "version": 2}
     h = hashlib.sha256(
         json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:12]
     out = os.path.join(root, f"ivfpq_{os.path.basename(sf_dir)}_{h}")
@@ -474,8 +484,13 @@ def build_ann_ivfpq_index(sf_dir: str, n_centroids: int = 16,
 
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
+    # sort by (cid, vec_id): vec_id-ordered rows inside each partition
+    # give the parquet row groups disjoint vec_id ranges, so the rerank
+    # scan's vec_id filter prunes at row-group granularity (bounded
+    # bytes read per candidate); row_group_size bounds the granularity
     (ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)
-       .sort("cid").write_parquet(tmp, partition_cols=["cid"]))
+       .sort(["cid", "vec_id"]).write_parquet(
+           tmp, partition_cols=["cid"], row_group_size=4096))
     shutil.rmtree(out, ignore_errors=True)
     os.replace(tmp, out)
     np.save(os.path.join(out, "_centroids.npy"), cents)
@@ -554,12 +569,20 @@ def ann_topk_ivfpq(sf_dir: str, k: int = K_DEFAULT, query_vec_id: int = 0,
     cand_ids = np.array(sorted({int(r["vec_id"])
                                 for r in partials[:rerank]}),
                         dtype=np.int64)
+    if not len(cand_ids):  # probed partitions can be empty
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
     cand_ref = ray.put(cand_ids)
     q_ref = ray.put(q)
 
     def exact(b: pa.Table) -> pa.Table:
+        # safety re-filter behind the scan-level pushdown (a no-op when
+        # the filter already pruned exactly); guards the empty case too
         cand = ray.get(cand_ref)
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        if not len(cand) or not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         pos = np.searchsorted(cand, ids)
         pos[pos == len(cand)] = 0
         b = b.filter(pa.array(cand[pos] == ids))
@@ -570,10 +593,17 @@ def ann_topk_ivfpq(sf_dir: str, k: int = K_DEFAULT, query_vec_id: int = 0,
         return pa.table({"vec_id": pa.array(ids, pa.int64()),
                          "sim": pa.array(sims, pa.float64())})
 
+    # rerank scan reads ONLY the candidates: the vec_id isin filter is
+    # pushed into the parquet scan, and the index is written vec_id-
+    # sorted per partition with bounded row groups, so bytes read are
+    # O(candidate row groups), not O(probed-partition rows)
+    import pyarrow.dataset as pads
     rerank_paths = [p for cid in probe
                     for p in _cid_paths(index_dir, int(cid))]
     scored = (rd.read_parquet(rerank_paths,
-                              columns=["vec_id", "embedding"])
+                              columns=["vec_id", "embedding"],
+                              filter=pads.field("vec_id").isin(
+                                  pa.array(cand_ids)))
               .map_batches(exact, batch_format="pyarrow",
                            batch_size=4096).take_all())
     rows = sorted(scored, key=lambda r: (-r["sim"], r["vec_id"]))[:k]

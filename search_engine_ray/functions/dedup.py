@@ -194,25 +194,49 @@ def _collect_sorted(ds, cols: list[str]) -> pd.DataFrame:
     return df[cols].sort_values(cols[:2]).reset_index(drop=True)
 
 
+def _binary_col_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """(row counts, flat uint64 values) of a binary column whose values
+    are packed uint64 arrays — one buffer view + one aligned copy, no
+    per-row Python."""
+    a = col.cast(pa.large_binary()).combine_chunks()
+    offs = np.frombuffer(a.buffers()[1], dtype=np.int64)[
+        a.offset:a.offset + len(a) + 1]
+    data = (np.frombuffer(a.buffers()[2], dtype=np.uint8)
+            if a.buffers()[2] is not None else np.empty(0, np.uint8))
+    counts = np.diff(offs) // 8
+    flat = np.frombuffer(
+        data[offs[0]:offs[-1]].tobytes(), dtype=np.uint64)
+    return counts.astype(np.int64), flat
+
+
 def _jaccard_verify_batch(batch: pa.Table, threshold_bp: int) -> pa.Table:
     """Exact Jaccard per pair from the two attached shingle-set columns
-    (sorted-unique uint64 arrays as raw bytes). Runs inside the join's
-    output tasks."""
+    (sorted-unique uint64 arrays as raw bytes). Fully vectorized: one
+    lexsort over (pair ordinal, value) across the whole batch counts the
+    per-pair intersections — no per-pair Python loop (boilerplate-heavy
+    corpora make the candidate pair list large)."""
     if batch.num_rows == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard_bp": pa.array([], pa.int64())})
     da = batch.column("doc_a").to_numpy()
     db = batch.column("doc_b").to_numpy()
-    bufs_a = batch.column("shingles_a").to_pylist()
-    bufs_b = batch.column("shingles_b").to_pylist()
-    bp = np.empty(len(da), dtype=np.int64)
-    for i in range(len(da)):
-        sa = np.frombuffer(bufs_a[i], dtype=np.uint64)
-        sb = np.frombuffer(bufs_b[i], dtype=np.uint64)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        bp[i] = inter * 10000 // max(union, 1)
+    n = len(da)
+    cnt_a, flat_a = _binary_col_u64(batch.column("shingles_a"))
+    cnt_b, flat_b = _binary_col_u64(batch.column("shingles_b"))
+    rows = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), cnt_a),
+        np.repeat(np.arange(n, dtype=np.int64), cnt_b)])
+    vals = np.concatenate([flat_a, flat_b])
+    order = np.lexsort((vals, rows))
+    sv, sr = vals[order], rows[order]
+    # each side is sorted-unique, so a value occurs ≤ 2× per pair: every
+    # equal-adjacent (same pair) marks exactly one intersection element
+    eq = (sv[1:] == sv[:-1]) & (sr[1:] == sr[:-1])
+    inter = np.bincount(sr[:-1][eq], minlength=n) if len(sv) > 1 \
+        else np.zeros(n, dtype=np.int64)
+    union = np.maximum(cnt_a + cnt_b - inter, 1)
+    bp = inter * 10000 // union
     keep = bp >= threshold_bp
     return pa.table({"doc_a": pa.array(da[keep], pa.int64()),
                      "doc_b": pa.array(db[keep], pa.int64()),

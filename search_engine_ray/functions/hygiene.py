@@ -152,25 +152,50 @@ def connected_components(pairs: pa.Table, nodes, num_partitions: int = 8,
         agg = ds.aggregate(_Sum("cluster_id", alias_name="s"))
         return int(agg["s"])
 
+    def prop(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("dst"),
+                         "cluster_id": batch.column("cluster_id")})
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        # view each label row as an edge label → node, so joining it
+        # against labels yields label(label(node)) for every node
+        return pa.table({"src": batch.column("cluster_id"),
+                         "dst": batch.column("doc_id")})
+
     prev = label_sum(labels)
+    converged = False
     for _ in range(max_rounds):
+        # hash-min step: min label among neighbors
         j = edges.join(labels, join_type="inner",
                        num_partitions=num_partitions,
                        on=("src",), right_on=("doc_id",),
                        aggregator_ray_remote_args=agg_args)
-
-        def prop(batch: pa.Table) -> pa.Table:
-            return pa.table({"doc_id": batch.column("dst"),
-                             "cluster_id": batch.column("cluster_id")})
-
         cand = j.map_batches(prop, batch_format="pyarrow")
-        labels = (labels.union(cand).groupby("doc_id")
+        # pointer-jumping step: label(label(node)) — halves the
+        # remaining path length each round, so deep chain components
+        # converge in O(log diameter) rounds instead of O(diameter)
+        # (cluster_id values are always doc_ids present in `labels`, so
+        # the inner self-join covers every node)
+        j2 = (labels.map_batches(as_edges, batch_format="pyarrow")
+              .join(labels, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("src",), right_on=("doc_id",),
+                    aggregator_ray_remote_args=agg_args))
+        cand2 = j2.map_batches(prop, batch_format="pyarrow")
+        labels = (labels.union(cand).union(cand2).groupby("doc_id")
                   .aggregate(_Min("cluster_id", alias_name="cluster_id"))
                   .materialize())
         cur = label_sum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the label fixpoint in "
+            f"{max_rounds} rounds — with pointer jumping this needs a "
+            f"component of diameter > 2^{max_rounds}; the pair list is "
+            f"likely inconsistent")
     return labels.map_batches(_with_keep, batch_format="pyarrow")
 
 

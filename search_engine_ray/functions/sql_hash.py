@@ -348,3 +348,48 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {holdout_mod} <> 0
 ORDER BY d.doc_id
 """
+
+
+def embedding_neardup_sql(n_planes: int = 4, seed: int = 42,
+                          threshold_bp: int = 2500, dim: int = 64) -> str:
+    """Oracle for functions/dedup.py embedding_neardup: the seeded
+    hyperplanes are emitted as literal DOUBLE lists (repr round-trips
+    float64 exactly), unit normalization / sign-bit bucketing / in-bucket
+    cosine are restated over list ops, and the output is the same
+    (vec_a, vec_b, cos_bp=floor(cos*10000)) pair list. ``dim`` must match
+    the embeddings fixture (64 across the test sf dirs) because the plane
+    literals are dimension-fixed."""
+    import numpy as np
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    plane_rows = ",\n".join(
+        "(%d, [%s])" % (i, ",".join(repr(float(x)) for x in planes[i]))
+        for i in range(n_planes))
+    return f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+u AS (SELECT vec_id,
+             CASE WHEN nrm = 0 OR nrm IS NULL THEN v
+                  ELSE list_transform(v, x -> x/nrm) END AS uv FROM n),
+planes(plane_id, p) AS (VALUES {plane_rows}),
+proj AS (SELECT u.vec_id, pl.plane_id,
+                list_sum(list_transform(list_zip(u.uv, pl.p),
+                                        t -> t[1]*t[2])) AS d
+         FROM u CROSS JOIN planes pl),
+bkt AS (SELECT vec_id,
+               CAST(SUM(CASE WHEN d > 0 THEN 1<<plane_id ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id),
+pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_sum(list_transform(list_zip(ua.uv, ub.uv),
+                                         t -> t[1]*t[2])) AS cos
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+                                AND a.vec_id < b.vec_id
+          JOIN u ua ON ua.vec_id = a.vec_id
+          JOIN u ub ON ub.vec_id = b.vec_id)
+SELECT vec_a, vec_b, CAST(FLOOR(cos*10000) AS BIGINT) AS cos_bp
+FROM pairs WHERE FLOOR(cos*10000) >= {threshold_bp}
+ORDER BY vec_a, vec_b
+"""

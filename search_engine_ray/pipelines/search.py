@@ -183,8 +183,18 @@ class ShardIndex:
         t = pq.read_table(seg_path, memory_map=True)
         # segment rows are written term-sorted: lookups binary-search the
         # Arrow column directly (O(log n) probes, cached) instead of
-        # materializing a python dict of every term at actor startup
+        # materializing a python dict of every term at actor startup.
+        # The string column's (offsets, data) buffers are kept as numpy
+        # views so each probe compares raw bytes — no per-probe .as_py()
+        # string materialization.
         self._terms = t.column("term").combine_chunks()
+        _b = self._terms.buffers()
+        _off = self._terms.offset
+        self._term_offs = np.frombuffer(_b[1], dtype=np.int32)[
+            _off:_off + len(self._terms) + 1]
+        self._term_data = (np.frombuffer(_b[2], dtype=np.uint8)
+                           if _b[2] is not None
+                           else np.empty(0, dtype=np.uint8))
         self._table = t
         self._cache: dict[str, seg.TermPostings] = {}
         self._dense: dict[str, np.ndarray] = {}
@@ -202,14 +212,17 @@ class ShardIndex:
         return self._terms.to_pylist()
 
     def _find_row(self, term: str) -> int | None:
+        key = term.encode()
+        offs, data = self._term_offs, self._term_data
         lo, hi = 0, len(self._terms)
         while lo < hi:
             mid = (lo + hi) // 2
-            if self._terms[mid].as_py() < term:
+            if data[offs[mid]:offs[mid + 1]].tobytes() < key:
                 lo = mid + 1
             else:
                 hi = mid
-        if lo < len(self._terms) and self._terms[lo].as_py() == term:
+        if lo < len(self._terms) \
+                and data[offs[lo]:offs[lo + 1]].tobytes() == key:
             return lo
         return None
 
@@ -246,6 +259,10 @@ class ShardIndex:
         if di is None:
             di = np.searchsorted(self.doc_ids, tp.doc_ids).astype(
                 np.int32)
+            if len(self._dense) >= 4096:  # bounded like _phrase_cache —
+                # a long-lived actor over a wide query vocabulary must
+                # not accumulate +4 B/posting forever
+                self._dense.pop(next(iter(self._dense)))
             self._dense[term] = di
         return di
 
