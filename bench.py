@@ -205,6 +205,34 @@ def run_bench() -> dict:
         results["freq_term_exhaustive_ms"]
         / max(results["freq_term_wand_ms"], 1e-9), 2)
 
+    # conjunctive skipping: rare∧frequent AND on the big shard — the
+    # skip path decodes only the candidate blocks of the frequent term
+    # (cold per-term cost, where the reference's skip table also bites)
+    from search_engine_ray.query import compile as qcmp
+    freq_t = freq_terms[0][0]
+    rare_t = next(t for t, d in reversed(tdf) if d >= 8)
+    # vocabulary terms are already stems — pass stem_ explicitly
+    plan_and = qcmp.And(qcmp.Word(freq_t, freq_t),
+                        qcmp.Word(rare_t, rare_t))
+    idf_and = {freq_t: 1.1, rare_t: 2.3}
+
+    def _time_and(lazy: bool) -> float:
+        times = []
+        for _ in range(5):
+            s = ShardIndex(idx_big, 0)
+            if not lazy:
+                s._has_block_offs = False
+            t0 = time.time()
+            s.score_topk(plan_and, 10, idf_and, avgdl_big)
+            times.append(time.time() - t0)
+        return min(times)
+
+    results["and_skip_cold_ms"] = round(_time_and(True) * 1000, 3)
+    results["and_generic_cold_ms"] = round(_time_and(False) * 1000, 3)
+    results["conjunctive_speedup"] = round(
+        results["and_generic_cold_ms"]
+        / max(results["and_skip_cold_ms"], 1e-9), 2)
+
     # auxiliary operators at the sf dir (documents table scale)
     from search_engine_ray.functions import ann, docops
 

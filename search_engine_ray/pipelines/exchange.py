@@ -313,7 +313,7 @@ class _GroupMergeWorker:
                 r = per_shard.setdefault(sh, {
                     "term": [], "df": [], "cf": [], "doc_gaps": [],
                     "tfs": [], "pos_gaps": [], "block_last_doc": [],
-                    "block_max_impact": []})
+                    "block_max_impact": [], "block_offs": []})
                 r["term"].append(vocab[codes[lo]])
                 r["df"].append(n)
                 r["cf"].append(int(run_cf[ri]))
@@ -321,6 +321,15 @@ class _GroupMergeWorker:
                 r["tfs"].append(tf_stream[tf_offs[lo]:tf_offs[hi]])
                 r["pos_gaps"].append(
                     pos_data[pos_offs[lo]:pos_offs[hi]].tobytes())
+                # per-block byte offsets into the three run streams (the
+                # block-lazy seek table, state/segments.py LazyPostings)
+                bstarts = lo + np.arange(0, n, seg.BLOCK_SIZE,
+                                         dtype=np.int64)
+                r["block_offs"].append(np.stack([
+                    doc_offs[bstarts] - doc_offs[lo],
+                    tf_offs[bstarts] - tf_offs[lo],
+                    pos_offs[bstarts] - pos_offs[lo]],
+                    axis=1).astype(np.int64).tobytes())
                 if n <= seg.BLOCK_SIZE:
                     r["block_last_doc"].append(
                         last_stream[last_offs[ri]:last_offs[ri + 1]])
@@ -359,6 +368,9 @@ class _GroupMergeWorker:
                         pa.binary()),
                     "block_max_impact": pa.array(
                         [r["block_max_impact"][i] for i in t_order],
+                        pa.binary()),
+                    "block_offs": pa.array(
+                        [r["block_offs"][i] for i in t_order],
                         pa.binary()),
                 })
                 self._write_shard_dir(self.segments_dir, sh, tab,

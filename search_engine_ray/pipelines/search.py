@@ -128,6 +128,29 @@ def pure_disjunction_terms(node, idf: dict[str, float],
     return out if walk(node, synonym) else None
 
 
+def conjunctive_word_terms(node):
+    """If the plan is a pure conjunction of words (And tree over Word
+    leaves only), return the deduped stems in left-to-right order (the
+    same order scoring_terms yields, so float accumulation matches the
+    generic path bit-for-bit); else None."""
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def walk(n) -> bool:
+        if isinstance(n, qc.And):
+            return walk(n.left) and walk(n.right)
+        if isinstance(n, qc.Word):
+            if not n.stem_:
+                return False
+            if n.stem_ not in seen:
+                seen.add(n.stem_)
+                out.append(n.stem_)
+            return True
+        return False
+
+    return out if (node is not None and walk(node)) else None
+
+
 # ---------------------------------------------------------------------------
 # per-shard evaluation
 # ---------------------------------------------------------------------------
@@ -196,7 +219,9 @@ class ShardIndex:
                            if _b[2] is not None
                            else np.empty(0, dtype=np.uint8))
         self._table = t
+        self._has_block_offs = "block_offs" in t.column_names
         self._cache: dict[str, seg.TermPostings] = {}
+        self._lazy: dict[str, seg.LazyPostings] = {}
         self._dense: dict[str, np.ndarray] = {}
         self._phrase_cache: dict[tuple, np.ndarray] = {}
         d = pq.read_table(doc_path, memory_map=True,
@@ -242,6 +267,26 @@ class ShardIndex:
         tp = seg.TermPostings(row)
         self._cache[term] = tp
         return tp
+
+    def lookup_lazy(self, term: str) -> "seg.LazyPostings | None":
+        """Block-lazy postings view (no full decode): only the O(df/128)
+        block metadata materializes; doc/tf blocks decode on first probe
+        through the block_offs seek table."""
+        lz = self._lazy.get(term)
+        if lz is not None:
+            return lz
+        i = self._find_row(term)
+        if i is None:
+            return None
+        row = {name: self._table.column(name)[i].as_py()
+               for name in ("df", "cf", "doc_gaps", "tfs",
+                            "block_last_doc", "block_max_impact",
+                            "block_offs")}
+        lz = seg.LazyPostings(row)
+        if len(self._lazy) >= 1024:
+            self._lazy.pop(next(iter(self._lazy)))
+        self._lazy[term] = lz
+        return lz
 
     def doc_meta(self, doc_id: int) -> tuple[str, str]:
         i = int(np.searchsorted(self.doc_ids, doc_id))
@@ -578,6 +623,65 @@ class ShardIndex:
         return [(float(s), int(dd))
                 for s, dd in zip(best_scores, best_docs)]
 
+    # -- conjunctive skipping (block-lazy AND, scale path) -------------------
+    CONJ_SKEW = 4      # engage when max_df ≥ CONJ_SKEW × min_df
+    CONJ_MIN_DF = 4096  # ... and the frequent list is worth skipping
+
+    def _conjunctive_topk(self, terms: list[str], k: int,
+                          idf: dict[str, float], avgdl: float
+                          ) -> "list[tuple[float, int, str, str]] | None":
+        """Top-k for a pure AND-of-words plan without ever fully
+        decoding the frequent terms: the rarest term's postings seed the
+        candidate set; every other term is probed block-lazily (only the
+        128-doc blocks the candidates land in decode — the Ray-side
+        SeekDocumentPost, Posts.hpp:448-473). Returns None when the dfs
+        are balanced (no skipping to be had — the generic path's single
+        full decode is then the cheaper constant). Results are
+        bit-identical to the generic path (same candidate set, same
+        float accumulation order; pinned by tests/test_conjunctive.py)."""
+        infos: list[tuple[str, int]] = []
+        for t in terms:
+            i = self._find_row(t)
+            if i is None:
+                return []  # AND with an absent term matches nothing
+            infos.append((t, int(self._table.column("df")[i].as_py())))
+        dfs = [d for _, d in infos]
+        # engage only when (a) dfs are skewed (otherwise nothing to
+        # skip) and (b) the frequent list is big enough that avoiding
+        # its full decode beats the per-block bookkeeping (same 4096
+        # floor as the WAND gate, measured on small shards)
+        if max(dfs) < self.CONJ_SKEW * max(min(dfs), 1) \
+                or max(dfs) < self.CONJ_MIN_DF:
+            return None
+        order = sorted(range(len(infos)), key=lambda j: dfs[j])
+        seed = infos[order[0]][0]
+        tp0 = self.lookup(seed)  # full decode of the RARE term only
+        cand = tp0.doc_ids
+        for j in order[1:]:
+            if not len(cand):
+                return []
+            hit, _ = self.lookup_lazy(infos[j][0]).gather(cand)
+            cand = cand[hit]
+        if not len(cand):
+            return []
+        dls = self.doc_dl(cand)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t, _df in infos:  # plan order == scoring_terms order
+            w = idf.get(t)
+            if w is None:
+                continue
+            if t == seed:
+                tfs = tp0.tfs[np.searchsorted(tp0.doc_ids, cand)]
+            else:  # blocks already cached by the intersection pass
+                _hit, tfs = self.lookup_lazy(t).gather(cand)
+            scores += w * seg.bm25_impact(tfs, dls, avgdl)
+        top = _topk_tie_aware(cand, scores, k)
+        out = []
+        for i in top:
+            url, title = self.doc_meta(int(cand[i]))
+            out.append((float(scores[i]), int(cand[i]), url, title))
+        return out
+
     # -- scoring ------------------------------------------------------------
     def score_topk(self, plan, k: int, idf: dict[str, float],
                    avgdl: float) -> list[tuple[float, int, str, str]]:
@@ -605,6 +709,14 @@ class ShardIndex:
                 url, title = self.doc_meta(doc_id)
                 out.append((score, doc_id, url, title))
             return out
+        # pure AND-of-words plans with skewed dfs skip through the
+        # frequent terms block-lazily instead of fully decoding them
+        and_terms = conjunctive_word_terms(plan)
+        if and_terms is not None and len(and_terms) >= 2 \
+                and self._has_block_offs:
+            res = self._conjunctive_topk(and_terms, k, idf, avgdl)
+            if res is not None:
+                return res
         # heavy plans (leaf postings a sizable fraction of the shard)
         # evaluate as dense bitmaps; selective plans keep the
         # sorted-array algebra (identical result sets either way)

@@ -22,6 +22,12 @@ A segment row is one term's postings within one document shard:
                           the block-max metadata for WAND (the Ray-native
                           generalization of the reference skip table,
                           Posts.hpp:353-369)
+    block_offs:binary     int64-LE (nblocks, 3) array: byte offset of each
+                          block's start within (doc_gaps, tfs, pos_gaps) —
+                          the seek table that lets a reader decode block k
+                          WITHOUT decoding blocks 0..k-1 (conjunctive
+                          skipping; reference analogue SeekDocumentPost's
+                          skip table, Posts.hpp:448-473)
 
 Sharding is BY DOCUMENT (shard = doc_id % num_shards): each shard is a
 self-contained index over its docs — the distributed analogue of the
@@ -57,6 +63,7 @@ SEGMENT_SCHEMA = pa.schema([
     ("pos_gaps", pa.binary()),
     ("block_last_doc", pa.binary()),
     ("block_max_impact", pa.binary()),
+    ("block_offs", pa.binary()),
 ])
 
 
@@ -93,16 +100,38 @@ def encode_term_postings(doc_ids: np.ndarray, tfs: np.ndarray,
         block_last.append(doc_ids[hi - 1])
         block_max[b] = impacts[lo:hi].max()
 
+    # per-block byte offsets into the three varint streams (seek table)
+    from ..stages.emit import _varint_stream_with_offsets
+    doc_stream, doc_offs = _varint_stream_with_offsets(
+        varint_gap_values(doc_ids.astype(np.uint64)))
+    tf_stream, tf_offs = _varint_stream_with_offsets(tfs.astype(np.uint64))
+    pos_stream, occ_offs = _varint_stream_with_offsets(gaps)
+    occ_starts = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+    starts = np.arange(0, len(doc_ids), BLOCK_SIZE)
+    block_offs = np.stack([
+        doc_offs[starts], tf_offs[starts],
+        occ_offs[occ_starts[starts]]], axis=1).astype(np.int64)
+
     return {
         "df": len(doc_ids),
         "cf": int(tfs.sum()),
-        "doc_gaps": varint.encode_gaps(doc_ids.astype(np.uint64)),
-        "tfs": varint.encode_u64_stream(tfs.astype(np.uint64)),
-        "pos_gaps": varint.encode_u64_stream(gaps),
+        "doc_gaps": doc_stream,
+        "tfs": tf_stream,
+        "pos_gaps": pos_stream,
         "block_last_doc": varint.encode_gaps(
             np.asarray(block_last, dtype=np.uint64)),
         "block_max_impact": block_max.tobytes(),
+        "block_offs": block_offs.tobytes(),
     }
+
+
+def varint_gap_values(doc_ids_u64: np.ndarray) -> np.ndarray:
+    """Gap transform matching varint.encode_gaps (first absolute)."""
+    out = np.empty_like(doc_ids_u64)
+    if len(doc_ids_u64):
+        out[0] = doc_ids_u64[0]
+        np.subtract(doc_ids_u64[1:], doc_ids_u64[:-1], out=out[1:])
+    return out
 
 
 class TermPostings:
@@ -137,6 +166,88 @@ class TermPostings:
 
     def positions_for(self, i: int) -> np.ndarray:
         return self.positions[self.pos_offsets[i]:self.pos_offsets[i + 1]]
+
+
+class LazyPostings:
+    """Block-lazy view of one segment row: only the block metadata
+    (block_last_doc, block_offs — O(df/128)) decodes at construction;
+    doc ids / tfs decode PER 128-doc BLOCK on first touch via the
+    block_offs seek table. A conjunction of a rare and a frequent term
+    probes the frequent list through gather(), decoding only the blocks
+    the rare term's doc range lands in (the reference's SeekDocumentPost
+    skip-seek, Posts.hpp:448-473)."""
+
+    __slots__ = ("df", "cf", "block_last_doc", "block_max_impact",
+                 "_doc_bytes", "_tf_bytes", "_offs", "_blk_docs",
+                 "_blk_tfs", "blocks_decoded")
+
+    def __init__(self, row: dict):
+        self.df = row["df"]
+        self.cf = row["cf"]
+        self.block_last_doc = varint.decode_gaps(
+            row["block_last_doc"]).astype(np.int64)
+        self.block_max_impact = np.frombuffer(
+            row["block_max_impact"], dtype=np.float32)
+        self._doc_bytes = row["doc_gaps"]
+        self._tf_bytes = row["tfs"]
+        n = len(self.block_last_doc)
+        offs = np.frombuffer(row["block_offs"], dtype=np.int64
+                             ).reshape(n, 3)
+        # append end sentinels so block b's byte range is offs[b:b+2]
+        self._offs = np.vstack([offs, [len(self._doc_bytes),
+                                       len(self._tf_bytes), 0]])
+        self._blk_docs: dict[int, np.ndarray] = {}
+        self._blk_tfs: dict[int, np.ndarray] = {}
+        self.blocks_decoded = 0
+
+    @property
+    def nblocks(self) -> int:
+        return len(self.block_last_doc)
+
+    def block_docs(self, b: int) -> np.ndarray:
+        d = self._blk_docs.get(b)
+        if d is None:
+            raw = varint.decode_u64_stream(
+                self._doc_bytes[self._offs[b, 0]:self._offs[b + 1, 0]])
+            d = np.cumsum(raw.astype(np.int64))
+            if b > 0:
+                # block b's first gap is the delta from the previous
+                # block's last doc id (the gap chain never restarts)
+                d += self.block_last_doc[b - 1]
+            self._blk_docs[b] = d
+            self.blocks_decoded += 1
+        return d
+
+    def block_tfs(self, b: int) -> np.ndarray:
+        t = self._blk_tfs.get(b)
+        if t is None:
+            t = varint.decode_u64_stream(
+                self._tf_bytes[self._offs[b, 1]:self._offs[b + 1, 1]]
+            ).astype(np.int64)
+            self._blk_tfs[b] = t
+        return t
+
+    def gather(self, cand: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """(hit mask over cand, tf per hit) probing only the blocks the
+        sorted-unique ``cand`` doc ids land in."""
+        hit = np.zeros(len(cand), dtype=bool)
+        tfs = np.zeros(len(cand), dtype=np.int64)
+        if not len(cand) or not self.nblocks:
+            return hit, tfs[:0]
+        blk = np.searchsorted(self.block_last_doc, cand)
+        valid = blk < self.nblocks
+        for b in np.unique(blk[valid]):
+            sel = np.nonzero(blk == int(b))[0]
+            sel = sel[valid[sel]]
+            docs_b = self.block_docs(int(b))
+            pos = np.searchsorted(docs_b, cand[sel])
+            np.clip(pos, 0, len(docs_b) - 1, out=pos)
+            ok = docs_b[pos] == cand[sel]
+            if ok.any():
+                hit[sel[ok]] = True
+                tfs[sel[ok]] = self.block_tfs(int(b))[pos[ok]]
+        return hit, tfs[hit]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,153 @@
+"""Block-lazy conjunctive skipping: AND-of-words top-k identical to the
+generic (full-decode) path, and the frequent term's posting list is never
+fully decoded (only the candidate blocks are)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from search_engine_ray.query import compile as qc
+from search_engine_ray.state import segments as seg
+
+
+@pytest.fixture(scope="module")
+def shard_setup(ray_session, tmp_path_factory):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.search import ShardIndex
+    from search_engine_ray.sources.fixtures import gen_pages
+
+    root = tmp_path_factory.mktemp("conj")
+    pages_path = str(root / "pages")
+    os.makedirs(pages_path)
+    pq.write_table(gen_pages(600), os.path.join(pages_path, "p.parquet"))
+
+    def factory(columns):
+        return rd.read_parquet(pages_path, columns=columns)
+
+    out = str(root / "index")
+    man = build_index(factory, out, docs_per_shard=600)
+    return out, man
+
+
+def _and_plan(terms):
+    # vocab terms are already stems — pass stem_ explicitly so the plan
+    # probes the exact index vocabulary
+    plan = qc.Word(terms[0], terms[0])
+    for t in terms[1:]:
+        plan = qc.And(plan, qc.Word(t, t))
+    return plan
+
+
+def _df_sorted_vocab(sh):
+    import pyarrow.parquet as pq  # noqa: F401
+    terms = sh._table.column("term").to_pylist()
+    dfs = sh._table.column("df").to_pylist()
+    return sorted(zip(terms, dfs), key=lambda x: -x[1])
+
+
+def test_conjunctive_matches_generic(shard_setup):
+    from search_engine_ray.pipelines.search import (ShardIndex,
+                                                    flatten_terms)
+
+    out, man = shard_setup
+    avgdl = man["stats"]["avgdl"]
+    sh_skip = ShardIndex(out, 0)
+    sh_skip.CONJ_MIN_DF = 1  # fixture corpus is small — exercise skipping
+    sh_gen = ShardIndex(out, 0)
+    sh_gen._has_block_offs = False  # force the generic path
+    vocab = _df_sorted_vocab(sh_skip)
+    rng = np.random.default_rng(11)
+    idf_stub = {t: 1.0 + (hash(t) % 97) / 50.0 for t, _ in vocab}
+    checked = 0
+    for trial in range(25):
+        n = int(rng.integers(2, 5))
+        # mix: one frequent head term + rare tail terms (the skew case)
+        picks = [vocab[int(rng.integers(0, 5))][0]] + [
+            vocab[int(rng.integers(len(vocab) // 2, len(vocab)))][0]
+            for _ in range(n - 1)]
+        plan = _and_plan(picks)
+        idf = {t: idf_stub[t] for t, _ in flatten_terms(plan)}
+        got = sh_skip.score_topk(plan, 10, idf, avgdl)
+        want = sh_gen.score_topk(plan, 10, idf, avgdl)
+        assert [(d, round(s, 12)) for s, d, _, _ in got] == \
+               [(d, round(s, 12)) for s, d, _, _ in want], picks
+        checked += 1
+    assert checked == 25
+
+
+def test_conjunctive_skips_decoding(shard_setup):
+    from search_engine_ray.pipelines.search import ShardIndex
+
+    out, man = shard_setup
+    avgdl = man["stats"]["avgdl"]
+    sh = ShardIndex(out, 0)
+    sh.CONJ_MIN_DF = 1
+    vocab = _df_sorted_vocab(sh)
+    freq_term, freq_df = vocab[0]
+    # a rare term co-occurring with the frequent one (same corpus)
+    rare_term = next(t for t, d in reversed(vocab) if d >= 1)
+    assert freq_df >= 4 * 1
+    plan = _and_plan([freq_term, rare_term])
+    idf = {freq_term: 1.1, rare_term: 2.3}
+    res = sh.score_topk(plan, 10, idf, avgdl)
+    # the frequent term must have gone through the lazy path: never
+    # fully decoded (not in the eager cache), and only a bounded number
+    # of its blocks touched
+    assert freq_term not in sh._cache
+    lz = sh._lazy[freq_term]
+    rare_df = dict(vocab)[rare_term]
+    assert lz.blocks_decoded <= min(lz.nblocks, rare_df)
+    # sanity: result still matches the generic path
+    sh2 = ShardIndex(out, 0)
+    sh2._has_block_offs = False
+    want = sh2.score_topk(plan, 10, idf, avgdl)
+    assert [(d, s) for s, d, _, _ in res] == [(d, s)
+                                              for s, d, _, _ in want]
+
+
+def test_lazy_postings_block_decode_equals_eager(shard_setup):
+    """LazyPostings.block_docs/tfs reassemble exactly the eager decode,
+    block by block, for every term in the shard."""
+    from search_engine_ray.pipelines.search import ShardIndex
+
+    out, _ = shard_setup
+    sh = ShardIndex(out, 0)
+    for term in sh.vocab()[:200]:
+        tp = sh.lookup(term)
+        lz = sh.lookup_lazy(term)
+        docs = np.concatenate([lz.block_docs(b)
+                               for b in range(lz.nblocks)])
+        tfs = np.concatenate([lz.block_tfs(b)
+                              for b in range(lz.nblocks)])
+        np.testing.assert_array_equal(docs, tp.doc_ids)
+        np.testing.assert_array_equal(tfs, tp.tfs)
+
+
+def test_gather_random_subsets(shard_setup):
+    from search_engine_ray.pipelines.search import ShardIndex
+
+    out, _ = shard_setup
+    sh = ShardIndex(out, 0)
+    rng = np.random.default_rng(3)
+    all_docs = sh.doc_ids
+    for term in sh.vocab()[:40]:
+        tp = sh.lookup(term)
+        lz = sh.lookup_lazy(term)
+        cand = np.unique(rng.choice(all_docs,
+                                    size=min(50, len(all_docs)),
+                                    replace=False))
+        hit, tfs = lz.gather(cand)
+        expect_pos = np.searchsorted(tp.doc_ids,
+                                     np.clip(cand, tp.doc_ids.min(),
+                                             tp.doc_ids.max()))
+        np.clip(expect_pos, 0, len(tp.doc_ids) - 1, out=expect_pos)
+        expect_hit = tp.doc_ids[expect_pos] == cand
+        np.testing.assert_array_equal(hit, expect_hit)
+        np.testing.assert_array_equal(
+            tfs, tp.tfs[expect_pos[expect_hit]])
