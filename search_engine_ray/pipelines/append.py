@@ -119,13 +119,18 @@ def append_to_index(pages_factory, index_dir: str, *,
     num_groups = max(1, min(new_shard_count, 64))
     build_id = f"append-gen{gen}-{time.time_ns()}"
 
-    new_docs = rd.read_parquet(gen_dir, columns=["doc_id", "dl", "terms"])
+    from .exchange import DOCMETA_COLUMNS
+    new_docs = rd.read_parquet(gen_dir,
+                               columns=DOCMETA_COLUMNS + ["terms"])
 
     # the exchange computes LOCAL shard ids (doc_id % new_shard_count,
     # which equals assigned_shard - old_shards); the merge output dirs are
-    # shifted by old_shards when moved into place below
+    # shifted by old_shards when moved into place below. emit_meta=True:
+    # the merge worker derives each local shard's doc universe (ordinal
+    # space of the posting lists) from the meta partials — the meta
+    # "shard" column (already shifted here) is not used for that.
     writer = _PartialExchangeWriter(exchange_dir, new_shard_count,
-                                    num_groups)
+                                    num_groups, emit_meta=True)
     new_docs.map_batches(writer.__call__, batch_size=EMIT_BATCH_SIZE,
                          batch_format="pyarrow").materialize()
 
@@ -210,7 +215,6 @@ def refresh_block_max(index_dir: str) -> int:
             os.path.join(index_dir, "docmeta", f"shard={shard}"),
             columns=["doc_id", "dl"])
         order = np.argsort(dmeta.column("doc_id").to_numpy())
-        d_ids = dmeta.column("doc_id").to_numpy()[order]
         d_dls = dmeta.column("dl").to_numpy(zero_copy_only=False)[order]
         new_bmax = []
         for i in range(t.num_rows):
@@ -218,7 +222,9 @@ def refresh_block_max(index_dir: str) -> int:
                    for name in ("df", "cf", "doc_gaps", "tfs", "pos_gaps",
                                 "block_last_doc", "block_max_impact")}
             tp = seg.TermPostings(row)
-            dls = d_dls[np.searchsorted(d_ids, tp.doc_ids)]
+            # posting doc values are ordinals into the doc_id-sorted
+            # docmeta — direct indexing, no searchsorted
+            dls = d_dls[tp.doc_ids]
             imps = seg.bm25_impact(tp.tfs, dls, avgdl).astype(np.float32)
             bmax = np.maximum.reduceat(
                 imps, np.arange(0, len(imps), seg.BLOCK_SIZE))

@@ -178,12 +178,9 @@ class _GroupMergeWorker:
         shutil.rmtree(dst, ignore_errors=True)
         os.replace(tmp, dst)
 
-    def _emit_docmeta(self, gdir: str, files: list[str]) -> None:
-        """Concat this group's meta partials, split per shard, write
+    def _emit_docmeta(self, meta: pa.Table) -> None:
+        """Split this group's concatenated meta partials per shard, write
         docmeta/shard=S (skipping shards already done)."""
-        if not files:
-            return
-        meta = pq.read_table(files)
         if meta.num_rows == 0:
             return
         shards = meta.column("shard").to_numpy(zero_copy_only=False)
@@ -220,11 +217,31 @@ class _GroupMergeWorker:
             names = sorted(os.listdir(gdir))
             files = [os.path.join(gdir, f) for f in names
                      if f.endswith(".parquet") and f.startswith("part_")]
-            if self.docmeta_dir is not None:
-                self._emit_docmeta(gdir, [os.path.join(gdir, f)
-                                          for f in names
-                                          if f.endswith(".parquet")
-                                          and f.startswith("meta_")])
+            meta_files = [os.path.join(gdir, f) for f in names
+                          if f.endswith(".parquet")
+                          and f.startswith("meta_")]
+            meta = pq.read_table(meta_files) if meta_files else None
+            if self.docmeta_dir is not None and meta is not None:
+                self._emit_docmeta(meta)
+            # per-shard doc universe (sorted unique doc ids, recomputed
+            # by LOCAL shard id from doc_id so shifted append metas work):
+            # postings store ORDINALS into this universe — the position
+            # of the doc in the shard's doc_id-sorted docmeta — so doc
+            # gaps varint in 1-2 bytes instead of the ~9 bytes a 63-bit
+            # fingerprint delta costs, and the searcher's dense paths
+            # index docmeta arrays directly
+            uni: dict[int, np.ndarray] = {}
+            if meta is not None and meta.num_rows:
+                m_ids = meta.column("doc_id").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                m_sh = (m_ids % self.num_shards).astype(np.int64)
+                mo = np.argsort(m_sh, kind="stable")
+                msh_s, mid_s = m_sh[mo], m_ids[mo]
+                u_sh, u_starts = np.unique(msh_s, return_index=True)
+                u_bounds = np.append(u_starts, len(msh_s))
+                for si in range(len(u_sh)):
+                    uni[int(u_sh[si])] = np.unique(
+                        mid_s[u_bounds[si]:u_bounds[si + 1]])
             _t1 = _time.time()
             if not files:
                 continue
@@ -268,6 +285,26 @@ class _GroupMergeWorker:
             shards_s = shards[order]
             impacts = seg.bm25_impact(tfs_s, dls_s,
                                       self.avgdl).astype(np.float32)
+
+            # map doc ids → per-shard dense ordinals (monotone within a
+            # shard, so the (shard, term, doc) sort order is preserved)
+            ords = np.empty(len(docs_s), dtype=np.int64)
+            sh_u, sh_starts = np.unique(shards_s, return_index=True)
+            sh_bounds = np.append(sh_starts, len(shards_s))
+            for si in range(len(sh_u)):
+                slo, shi = int(sh_bounds[si]), int(sh_bounds[si + 1])
+                u = uni.get(int(sh_u[si]))
+                if u is None:
+                    raise RuntimeError(
+                        f"exchange meta partials missing for shard "
+                        f"{int(sh_u[si])} in grp={g}")
+                o_slice = np.searchsorted(u, docs_s[slo:shi])
+                if not np.array_equal(u[o_slice], docs_s[slo:shi]):
+                    raise RuntimeError(
+                        f"posting doc id outside the shard universe "
+                        f"(shard {int(sh_u[si])}, grp={g})")
+                ords[slo:shi] = o_slice
+            docs_s = ords
 
             # (shard, term) run boundaries
             change = np.empty(len(codes), dtype=bool)

@@ -194,6 +194,13 @@ class ShardIndex:
 
     Parquet files are opened memory-mapped; term rows decode on first use
     and are cached (mirrors the csolver mmap+read-on-demand, main.cpp:59-108).
+
+    Doc values inside posting lists are per-shard dense ORDINALS — the
+    doc's position in the shard's doc_id-sorted docmeta (assigned at
+    merge time, pipelines/exchange.py). Ordinals are monotone in doc_id,
+    so all sorted-set algebra, tie-breaking and block metadata work
+    unchanged; dense scoring indexes the docmeta arrays directly, and
+    results map back to real doc ids only at output time.
     """
 
     def __init__(self, index_dir: str, shard: int, wand_ok: bool = True):
@@ -222,7 +229,6 @@ class ShardIndex:
         self._has_block_offs = "block_offs" in t.column_names
         self._cache: dict[str, seg.TermPostings] = {}
         self._lazy: dict[str, seg.LazyPostings] = {}
-        self._dense: dict[str, np.ndarray] = {}
         self._phrase_cache: dict[tuple, np.ndarray] = {}
         d = pq.read_table(doc_path, memory_map=True,
                           columns=["doc_id", "url", "title", "dl"])
@@ -288,28 +294,17 @@ class ShardIndex:
         self._lazy[term] = lz
         return lz
 
-    def doc_meta(self, doc_id: int) -> tuple[str, str]:
-        i = int(np.searchsorted(self.doc_ids, doc_id))
-        return self._urls[i].as_py(), self._titles[i].as_py()
+    def doc_meta(self, ordinal: int) -> tuple[str, str]:
+        """(url, title) of a doc by its shard ordinal."""
+        return self._urls[ordinal].as_py(), self._titles[ordinal].as_py()
+
+    def doc_id_of(self, ordinals: np.ndarray) -> np.ndarray:
+        """Map shard ordinals to real doc ids (output boundary only)."""
+        return self.doc_ids[ordinals]
 
     def doc_dl(self, cand: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self.doc_ids, cand)
-        return self.dls[idx]
-
-    def _dense_idx(self, term: str, tp) -> np.ndarray:
-        """Positions of a term's postings in the shard's dense doc order
-        — computed once per term per actor (int32, +4 B/posting) so the
-        dense scoring path never re-probes doc_ids at query time."""
-        di = self._dense.get(term)
-        if di is None:
-            di = np.searchsorted(self.doc_ids, tp.doc_ids).astype(
-                np.int32)
-            if len(self._dense) >= 4096:  # bounded like _phrase_cache —
-                # a long-lived actor over a wide query vocabulary must
-                # not accumulate +4 B/posting forever
-                self._dense.pop(next(iter(self._dense)))
-            self._dense[term] = di
-        return di
+        """dl per doc ordinal — direct index into the docmeta order."""
+        return self.dls[cand]
 
     # -- boolean algebra ----------------------------------------------------
     def eval(self, node) -> np.ndarray:
@@ -363,13 +358,13 @@ class ShardIndex:
             m = np.zeros(n, dtype=bool)
             tp = self.lookup(node.stem_)
             if tp is not None:
-                m[self._dense_idx(node.stem_, tp)] = True
+                m[tp.doc_ids] = True  # postings ARE dense positions
             return m
         if isinstance(node, qc.Phrase):
             docs = self._eval_phrase([s for s in node.stems if s])
             m = np.zeros(n, dtype=bool)
             if len(docs):
-                m[np.searchsorted(self.doc_ids, docs)] = True
+                m[docs] = True
             return m
         if isinstance(node, qc.And):
             l, r = node.left, node.right
@@ -391,7 +386,7 @@ class ShardIndex:
                 for t in leaves:
                     tp = self.lookup(t)
                     if tp is not None:
-                        m[self._dense_idx(t, tp)] = True
+                        m[tp.doc_ids] = True
                 return m
             rest = node.right if isinstance(node, qc.Or) else node.rest
             m = self._eval_mask(node.left)
@@ -489,7 +484,8 @@ class ShardIndex:
                         k: int, avgdl: float) -> list[tuple[float, int]]:
         """Vectorized exhaustive union-scorer for a weighted term list —
         the no-skip baseline wand_topk is measured against (bench) and
-        must match exactly (tests)."""
+        must match exactly (tests). Returns (score, doc ORDINAL), like
+        wand_topk."""
         tws = [(tp, w) for tp, w in
                ((self.lookup(t), w) for t, w in weighted_terms)
                if tp is not None and w > 0 and len(tp.doc_ids)]
@@ -679,7 +675,8 @@ class ShardIndex:
         out = []
         for i in top:
             url, title = self.doc_meta(int(cand[i]))
-            out.append((float(scores[i]), int(cand[i]), url, title))
+            out.append((float(scores[i]),
+                        int(self.doc_ids[cand[i]]), url, title))
         return out
 
     # -- scoring ------------------------------------------------------------
@@ -705,9 +702,10 @@ class ShardIndex:
                 wand_terms = None
         if wand_terms is not None:
             out = []
-            for score, doc_id in self.wand_topk(wand_terms, k, avgdl):
-                url, title = self.doc_meta(doc_id)
-                out.append((score, doc_id, url, title))
+            for score, ordinal in self.wand_topk(wand_terms, k, avgdl):
+                url, title = self.doc_meta(ordinal)
+                out.append((score, int(self.doc_ids[ordinal]), url,
+                            title))
             return out
         # pure AND-of-words plans with skewed dfs skip through the
         # frequent terms block-lazily instead of fully decoding them
@@ -725,38 +723,37 @@ class ShardIndex:
             tp = self.lookup(t)
             if tp is not None:
                 total_df += tp.df
-        dense_cand = None
+        dense = False
         if 4 * total_df >= len(self.doc_ids):
-            dense_cand = np.flatnonzero(self._eval_mask(plan))
-            cand = self.doc_ids[dense_cand]
+            cand = np.flatnonzero(self._eval_mask(plan))
+            dense = True
         else:
             cand = self.eval(plan)
         if not len(cand):
             return []
-        if dense_cand is not None or len(self.doc_ids) <= 4 * len(cand):
+        if dense or len(self.doc_ids) <= 4 * len(cand):
             # dense path: when the candidate set is a sizable fraction
             # of the shard, accumulate every term's impacts into ONE
-            # full-shard score vector via its cached dense posting
-            # positions — zero searchsorted probes per term — then
-            # gather the candidates' scores. Bounded alloc: n_docs
-            # float64 ≤ 4 × |cand| × 8 B.
-            if dense_cand is None:
-                dense_cand = np.searchsorted(self.doc_ids, cand)
+            # full-shard score vector — posting ordinals ARE the dense
+            # positions, zero probes per term — then gather the
+            # candidates' scores. Bounded alloc: n_docs float64
+            # ≤ 4 × |cand| × 8 B.
             full = np.zeros(len(self.doc_ids), dtype=np.float64)
             for term, is_syn in scoring_terms(plan):
                 tp = self.lookup(term)
                 w = idf.get(term)
                 if tp is None or w is None:
                     continue
-                di = self._dense_idx(term, tp)
+                di = tp.doc_ids
                 imp = seg.bm25_impact(tp.tfs, self.dls[di], avgdl)
                 full[di] += (SYN_WEIGHT if is_syn else 1.0) * w * imp
-            scores = full[dense_cand]
+            scores = full[cand]
             order = _topk_tie_aware(cand, scores, k)
             out = []
             for i in order:
                 url, title = self.doc_meta(int(cand[i]))
-                out.append((float(scores[i]), int(cand[i]), url, title))
+                out.append((float(scores[i]),
+                            int(self.doc_ids[cand[i]]), url, title))
             return out
         dls = self.doc_dl(cand)
         scores = np.zeros(len(cand), dtype=np.float64)
@@ -794,7 +791,8 @@ class ShardIndex:
         out = []
         for i in order:
             url, title = self.doc_meta(int(cand[i]))
-            out.append((float(scores[i]), int(cand[i]), url, title))
+            out.append((float(scores[i]),
+                        int(self.doc_ids[cand[i]]), url, title))
         return out
 
 

@@ -207,17 +207,28 @@ def test_segment_blockmax_bounds_scores(index_dir):
     """block_max_impact must upper-bound every impact in its block."""
     out, man, pages_path = index_dir
     t = pq.read_table(os.path.join(out, "segments"))
-    avgdl = man["stats"]["avgdl"]
-    # reconstruct dl per doc
-    d = pq.read_table(os.path.join(out, "docs"), columns=["doc_id", "dl"])
-    dl_map = dict(zip(d.column("doc_id").to_pylist(),
-                      d.column("dl").to_pylist()))
+    # read stats from disk: an earlier test in this module rebuilds the
+    # fixture index with a different shard count
+    cur_man = seg.read_manifest(out)
+    avgdl = cur_man["stats"]["avgdl"]
+    # per-shard dl arrays in doc_id-sorted (= ordinal) order: posting
+    # doc values are ordinals into the shard's sorted docmeta
+    shard_dls = {}
+    for name in os.listdir(os.path.join(out, "docmeta")):
+        if not name.startswith("shard="):
+            continue
+        s = int(name.split("=", 1)[1])
+        d = pq.read_table(os.path.join(out, "docmeta", name),
+                          columns=["doc_id", "dl"])
+        o = np.argsort(d.column("doc_id").to_numpy())
+        shard_dls[s] = d.column("dl").to_numpy(
+            zero_copy_only=False)[o].astype(np.int64)
     for i in range(min(t.num_rows, 200)):
         row = {name: t.column(name)[i].as_py()
                for name in ("df", "cf", "doc_gaps", "tfs", "pos_gaps",
                             "block_last_doc", "block_max_impact")}
         tp = seg.TermPostings(row)
-        dls = np.array([dl_map[d_] for d_ in tp.doc_ids], dtype=np.int64)
+        dls = shard_dls[int(t.column("shard")[i].as_py())][tp.doc_ids]
         imps = seg.bm25_impact(tp.tfs, dls, avgdl)
         for b in range(len(tp.block_max_impact)):
             blk = imps[b * seg.BLOCK_SIZE:(b + 1) * seg.BLOCK_SIZE]

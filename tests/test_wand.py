@@ -143,7 +143,9 @@ def test_tied_topk_wand_equals_exhaustive(tied_shards):
             got_exh = shard.score_topk(plan, k, idf, avgdl)
         finally:
             shard.wand_ok = True
-        assert [d for _, d, _, _ in got_exh] == [d for _, d in got_wand]
+        # score_topk outputs REAL doc ids; wand_topk speaks ordinals
+        assert [d for _, d, _, _ in got_exh] == \
+            [int(shard.doc_ids[d]) for _, d in got_wand]
 
 
 def test_exhaustive_topk_method_matches(shard_indexes):
