@@ -37,14 +37,44 @@ from ..state import segments as seg
 DOCMETA_COLUMNS = ["doc_id", "shard", "dl", "url", "title", "word_count",
                    "title_length", "url_length", "english", "tld"]
 
+# Partial-run file format. "ipc" (default): uncompressed Arrow IPC
+# stream — raw buffer writes on the map side, ZERO-COPY memory-mapped
+# reads on the merge side (no decompression pass, no parquet
+# decode/encode memcpys); the partials are transient intra-build spill,
+# so parquet's compression/compat advantages buy nothing here. "parquet"
+# keeps the former snappy-parquet partials (smaller bytes on disk —
+# useful when the exchange dir is on slow real storage, not tmpfs).
+EXCHANGE_FORMAT = os.environ.get("SE_EXCHANGE_FORMAT", "ipc")
+_EXT = {"ipc": ".arrow", "parquet": ".parquet"}
 
-def _atomic_parquet(tab: pa.Table, path: str) -> None:
+
+def _atomic_write(tab: pa.Table, path: str) -> None:
     """Write-then-rename with a UNIQUE tmp name: concurrent duplicate
     executions of the same task race only on the atomic os.replace (last
     wins, identical content), never on the file bytes."""
     tmp = f"{path}.{os.getpid()}.{id(tab) & 0xffffff:x}.tmp"
-    pq.write_table(tab, tmp)
+    if path.endswith(".arrow"):
+        with pa.OSFile(tmp, "wb") as f, \
+                pa.ipc.new_stream(f, tab.schema) as w:
+            w.write_table(tab)
+    else:
+        pq.write_table(tab, tmp)
     os.replace(tmp, path)
+
+
+def _read_partials(files: list[str]) -> pa.Table | None:
+    """Concat partial runs; IPC files read zero-copy via mmap (Arrow
+    buffers reference the mapping, which stays alive with them)."""
+    if not files:
+        return None
+    tabs = []
+    for f in files:
+        if f.endswith(".arrow"):
+            tabs.append(pa.ipc.open_stream(pa.memory_map(f)).read_all())
+        else:
+            tabs.append(pq.read_table(f))
+    return pa.concat_tables(tabs, promote_options="default") \
+        if len(tabs) > 1 else tabs[0]
 
 
 class _PartialExchangeWriter:
@@ -67,12 +97,13 @@ class _PartialExchangeWriter:
                       prefix: str, part_id: str) -> None:
         uniq, starts = np.unique(grp_sorted, return_index=True)
         bounds = np.append(starts, len(grp_sorted))
+        ext = _EXT.get(EXCHANGE_FORMAT, ".arrow")
         for gi in range(len(uniq)):
             lo, hi = int(bounds[gi]), int(bounds[gi + 1])
             d = os.path.join(self.exchange_dir, f"grp={int(uniq[gi])}")
             os.makedirs(d, exist_ok=True)
-            _atomic_parquet(tab.slice(lo, hi - lo),
-                            os.path.join(d, f"{prefix}_{part_id}.parquet"))
+            _atomic_write(tab.slice(lo, hi - lo),
+                          os.path.join(d, f"{prefix}_{part_id}{ext}"))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids = t.column("doc_id").to_numpy(
@@ -211,16 +242,16 @@ class _GroupMergeWorker:
             if not os.path.isdir(gdir):
                 continue
             _t0 = _time.time()
-            # explicit *.parquet filter: a crash between write_table and
-            # os.replace can leave a truncated *.parquet.*.tmp, which
-            # pyarrow's directory reader would otherwise try to parse
+            # explicit extension filter: a crash between write and
+            # os.replace can leave a truncated *.tmp, which the readers
+            # would otherwise try to parse
             names = sorted(os.listdir(gdir))
+            exts = (".parquet", ".arrow")
             files = [os.path.join(gdir, f) for f in names
-                     if f.endswith(".parquet") and f.startswith("part_")]
+                     if f.endswith(exts) and f.startswith("part_")]
             meta_files = [os.path.join(gdir, f) for f in names
-                          if f.endswith(".parquet")
-                          and f.startswith("meta_")]
-            meta = pq.read_table(meta_files) if meta_files else None
+                          if f.endswith(exts) and f.startswith("meta_")]
+            meta = _read_partials(meta_files)
             if self.docmeta_dir is not None and meta is not None:
                 self._emit_docmeta(meta)
             # per-shard doc universe (sorted unique doc ids, recomputed
@@ -245,7 +276,7 @@ class _GroupMergeWorker:
             _t1 = _time.time()
             if not files:
                 continue
-            part = pq.read_table(files)
+            part = _read_partials(files)
             _t2 = _time.time()
             if part.num_rows == 0:
                 continue

@@ -189,7 +189,8 @@ def replicate_documents_batch(batch: pa.Table, repl: int) -> pa.Table:
 
 
 def pages_from_documents_batch(batch: pa.Table, seed: int = 42,
-                               body_repeats: int = 1) -> pa.Table:
+                               body_repeats: int = 1,
+                               rare_tag_mod: int = 0) -> pa.Table:
     """Wrap a ``documents`` batch (doc_id, text, lang, ...) into pages.
 
     Deterministic per doc_id (independent of batching/order) so the same
@@ -197,6 +198,12 @@ def pages_from_documents_batch(batch: pa.Table, seed: int = 42,
     the body toward realistic Common-Crawl page sizes (the raw documents
     are ~400B; real pages are tens of KB) — each repeat is a <p> block so
     parse work grows proportionally.
+
+    ``rare_tag_mod`` > 0 appends one ``rtag{doc_id % mod}`` token per
+    page: a low-df term family (df ≈ corpus/mod) in an otherwise
+    ~50-term replicated vocabulary, so rare∧frequent conjunctions exist
+    to measure skip-seeking against. Off by default — the correctness
+    oracles restate the default synthesis in SQL.
     """
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
@@ -215,6 +222,8 @@ def pages_from_documents_batch(batch: pa.Table, seed: int = 42,
                          + words[:(r * 7) % max(len(words) - 1, 1)])
                 for r in range(body_repeats))
         bold = " ".join(words[8:12])
+        if rare_tag_mod:
+            body = f"{body} rtag{doc_id % rare_tag_mod}"
         html = (f'<html lang="{lang}"><head><title>{title}</title></head>'
                 f"<body><h1>{title}</h1><p>{body}</p><b>{bold}</b>"
                 f'<a href="http://doc{(doc_id * 7 + 1) % 100000}.com/">'

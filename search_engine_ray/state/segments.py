@@ -227,26 +227,69 @@ class LazyPostings:
             self._blk_tfs[b] = t
         return t
 
+    def _block_counts(self, blocks: np.ndarray) -> np.ndarray:
+        """Posting count per block: BLOCK_SIZE except the final block."""
+        counts = np.full(len(blocks), BLOCK_SIZE, dtype=np.int64)
+        counts[blocks == self.nblocks - 1] = \
+            self.df - (self.nblocks - 1) * BLOCK_SIZE
+        return counts
+
+    def ensure_blocks(self, blocks: np.ndarray) -> None:
+        """Decode the listed blocks in ONE concatenated varint call per
+        stream (every block holds exactly BLOCK_SIZE postings except the
+        last, so the flat decode splits back deterministically) — the
+        per-block python decode loop was ~34 µs/block, 1700× the
+        vectorized per-posting cost."""
+        need = np.asarray([b for b in np.unique(blocks)
+                           if b not in self._blk_docs], dtype=np.int64)
+        if not len(need):
+            return
+        counts = self._block_counts(need)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        d_flat = varint.decode_u64_stream(b"".join(
+            self._doc_bytes[self._offs[b, 0]:self._offs[b + 1, 0]]
+            for b in need)).astype(np.int64)
+        t_flat = varint.decode_u64_stream(b"".join(
+            self._tf_bytes[self._offs[b, 1]:self._offs[b + 1, 1]]
+            for b in need)).astype(np.int64)
+        # segmented cumsum: flat cumsum, then rebase each block at its
+        # predecessor's last doc id (gap chains never restart, so block
+        # b's first gap is the delta from block_last_doc[b-1])
+        c = np.cumsum(d_flat)
+        starts = bounds[:-1]
+        c_before = np.where(starts > 0, c[starts - 1], 0)
+        base = np.where(need > 0, self.block_last_doc[need - 1], 0)
+        d_flat = c + np.repeat(base - c_before, counts)
+        for i, b in enumerate(need):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            self._blk_docs[int(b)] = d_flat[lo:hi]
+            self._blk_tfs[int(b)] = t_flat[lo:hi]
+        self.blocks_decoded += len(need)
+
     def gather(self, cand: np.ndarray
                ) -> tuple[np.ndarray, np.ndarray]:
         """(hit mask over cand, tf per hit) probing only the blocks the
-        sorted-unique ``cand`` doc ids land in."""
+        sorted-unique ``cand`` doc ids land in — fully vectorized: the
+        touched blocks decode in one batch, and since blocks cover
+        disjoint ascending doc ranges their concatenation stays sorted,
+        so one searchsorted resolves every candidate."""
         hit = np.zeros(len(cand), dtype=bool)
         tfs = np.zeros(len(cand), dtype=np.int64)
         if not len(cand) or not self.nblocks:
             return hit, tfs[:0]
         blk = np.searchsorted(self.block_last_doc, cand)
-        valid = blk < self.nblocks
-        for b in np.unique(blk[valid]):
-            sel = np.nonzero(blk == int(b))[0]
-            sel = sel[valid[sel]]
-            docs_b = self.block_docs(int(b))
-            pos = np.searchsorted(docs_b, cand[sel])
-            np.clip(pos, 0, len(docs_b) - 1, out=pos)
-            ok = docs_b[pos] == cand[sel]
-            if ok.any():
-                hit[sel[ok]] = True
-                tfs[sel[ok]] = self.block_tfs(int(b))[pos[ok]]
+        ublocks = np.unique(blk[blk < self.nblocks])
+        if not len(ublocks):
+            return hit, tfs[:0]
+        self.ensure_blocks(ublocks)
+        docs_cat = np.concatenate([self._blk_docs[int(b)]
+                                   for b in ublocks])
+        tfs_cat = np.concatenate([self._blk_tfs[int(b)]
+                                  for b in ublocks])
+        pos = np.searchsorted(docs_cat, cand)
+        np.clip(pos, 0, len(docs_cat) - 1, out=pos)
+        np.equal(docs_cat[pos], cand, out=hit)
+        tfs[hit] = tfs_cat[pos[hit]]
         return hit, tfs[hit]
 
 

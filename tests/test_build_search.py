@@ -250,3 +250,27 @@ def test_search_batch_matches_per_query(index_dir, ray_session):
             assert bt.equals(eng.search(q, k=10)), q
     finally:
         eng.close()
+
+
+def test_frontend_pool_matches_engine(index_dir, ray_session):
+    """FrontendPool (N coordinator actors over the shared searcher
+    pool) returns exactly what the driver-side engine returns, in
+    input order."""
+    from search_engine_ray.pipelines.search import (FrontendPool,
+                                                    SearchEngine)
+
+    out, _, _ = index_dir
+    eng = SearchEngine(out, num_searchers=2)
+    fp = FrontendPool(out, eng.actors, n_frontends=3)
+    try:
+        queries = ["running", "children & data", "word1 | word2",
+                   '"some phrase"', "~nosuchwordatall", ""] * 3
+        got = fp.search_stream(queries, k=10, chunk=2)
+        assert len(got) == len(queries)
+        for q, t in zip(queries, got):
+            assert t.equals(eng.search(q, k=10)), q
+    finally:
+        fp.close()
+        eng.close()
+        # shared pool must survive a frontend close: closing the engine
+        # after the pool killed its frontends still worked above

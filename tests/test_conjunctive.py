@@ -59,6 +59,7 @@ def test_conjunctive_matches_generic(shard_setup):
     avgdl = man["stats"]["avgdl"]
     sh_skip = ShardIndex(out, 0)
     sh_skip.CONJ_MIN_DF = 1  # fixture corpus is small — exercise skipping
+    sh_skip.CONJ_BLOCK_COST = 0
     sh_gen = ShardIndex(out, 0)
     sh_gen._has_block_offs = False  # force the generic path
     vocab = _df_sorted_vocab(sh_skip)
@@ -88,6 +89,7 @@ def test_conjunctive_skips_decoding(shard_setup):
     avgdl = man["stats"]["avgdl"]
     sh = ShardIndex(out, 0)
     sh.CONJ_MIN_DF = 1
+    sh.CONJ_BLOCK_COST = 0
     vocab = _df_sorted_vocab(sh)
     freq_term, freq_df = vocab[0]
     # a rare term co-occurring with the frequent one (same corpus)
