@@ -144,13 +144,16 @@ def run_bench() -> dict:
         lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 2)
 
     # interactive throughput: a FrontendPool of query coordinators over
-    # the SHARED searcher pool — end-to-end per query (compile + fan-out
-    # + merge + result table), the multi-frontend topology that removes
-    # the single-driver Python floor. Frontends scale with cpus (one
-    # per 4) like a real deployment adds front-end machines with
-    # backend capacity. Best of 2 runs (shared-VM noise).
+    # a THROUGHPUT-SIZED searcher pool (one searcher per core — the
+    # latency-tuned pool above trades actor count for fan-out overhead,
+    # which caps aggregate qps at a fraction of the machine). End-to-end
+    # per query: compile + fan-out + merge + result table. Frontends
+    # scale with cpus (one per 4) like a real deployment adds front-end
+    # machines with backend capacity. Best of 2 runs (shared-VM noise).
     from search_engine_ray.pipelines.search import FrontendPool
-    fp = FrontendPool(index_dir, eng.actors,
+    eng.close()
+    eng_t = SearchEngine(index_dir, num_searchers=NUM_CPUS)
+    fp = FrontendPool(index_dir, eng_t.actors,
                       n_frontends=max(2, NUM_CPUS // 4))
     stream = [q for q in REF_QUERIES] * 5
     fp.search_stream(stream[:len(REF_QUERIES)])  # warm frontends
@@ -164,6 +167,8 @@ def run_bench() -> dict:
     results["query_throughput_qps"] = round(max(qps_runs), 1)
     results["query_throughput_qps_runs"] = [round(x, 1) for x in qps_runs]
     results["n_frontends"] = max(2, NUM_CPUS // 4)
+    results["n_searchers_throughput"] = len(eng_t.actors)
+    eng = eng_t  # batch mode below uses the throughput pool too
 
     # batch serving (search_many: one RPC per actor per batch — the
     # offline/batch-scoring path; driver fan-out is O(actors), not
@@ -275,7 +280,12 @@ def run_scaling() -> dict:
                                  os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # the N→4N pair is env-tunable: GRAFT_SCALE_LO=4 GRAFT_SCALE_HI=16
+    # measures a below-VM-ceiling operating point (BASELINE.md §3 —
+    # this VM's memory bandwidth saturates ~62-64k docs/sec, so an
+    # 8→32 pair asks the 32-cpu side for 4×8-cpu > ceiling by design)
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     r_lo = run(lo)
     r_hi = run(hi)
     dps_lo = r_lo["queries"]["build_docs_per_sec"]
