@@ -152,7 +152,7 @@ def run_bench() -> dict:
     # machines with backend capacity. Best of 2 runs (shared-VM noise).
     from search_engine_ray.pipelines.search import FrontendPool
     eng.close()
-    eng_t = SearchEngine(index_dir, num_searchers=NUM_CPUS)
+    eng_t = SearchEngine(index_dir, profile="throughput")
     fp = FrontendPool(index_dir, eng_t.actors,
                       n_frontends=max(2, NUM_CPUS // 4))
     stream = [q for q in REF_QUERIES] * 5

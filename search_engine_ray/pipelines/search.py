@@ -851,7 +851,8 @@ class SearchEngine:
 
     def __init__(self, index_dir: str, num_searchers: int | None = None,
                  use_synonyms: bool = True, cache_size: int = 0,
-                 use_wand: bool = True, actors: list | None = None):
+                 use_wand: bool = True, actors: list | None = None,
+                 profile: str = "latency"):
         # use_wand=True (round-3 default): the block-max path is now
         # vectorized block-at-a-time (interval overlay + batched numpy
         # scoring, see ShardIndex.wand_topk), so its per-doc constant
@@ -887,8 +888,16 @@ class SearchEngine:
             # 14.7 ms at 98 shards going 32 → 16 actors). Target ≈ 8
             # shards per actor, clamped to [cpus/2, cpus].
             cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
-            num_searchers = min(num_shards, cpus,
-                                max(cpus // 2, -(-num_shards // 8), 1))
+            if profile == "throughput":
+                # one searcher per core: maximizes aggregate qps when
+                # queries arrive concurrently (e.g. behind a
+                # FrontendPool) — per-query fan-out overhead is paid by
+                # the frontends, not a single driver loop
+                num_searchers = min(num_shards, cpus)
+            else:
+                num_searchers = min(num_shards, cpus,
+                                    max(cpus // 2, -(-num_shards // 8),
+                                        1))
         stale = set(man["stats"].get("wand_stale_shards", []))
         wand_ok = ({s for s in range(num_shards) if s not in stale}
                    if use_wand else set())
