@@ -270,5 +270,11 @@ LIMIT 50
     # embedding near-dup: literal seeded hyperplanes + list-op cosine
     out["embedding_neardup"] = sql_hash.embedding_neardup_sql(
         n_planes=4, threshold_bp=2500)
-    # ann_topk_lsh: approximate → rows-only check (recall is pytest-gated)
+    # ann_topk_lsh is approximate vs BRUTE-FORCE but fully deterministic
+    # given the seeded planes: the oracle restates the bucket keys +
+    # candidate union + exact in-candidate cosine (r4; 36th hash row).
+    # ann_topk_ivf/ivfpq stay rows-only: k-means is iterative float
+    # state the SQL restatement recipe doesn't reach (recall is
+    # pytest-gated instead).
+    out["ann_topk_lsh"] = sql_hash.ann_topk_lsh_sql()
     return out

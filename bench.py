@@ -246,6 +246,27 @@ def run_bench() -> dict:
         results["and_generic_cold_ms"]
         / max(results["and_skip_cold_ms"], 1e-9), 2)
 
+    # phrase skipping: rare-word phrase on the big shard — position
+    # blocks of the frequent term decode only where the rare term's
+    # candidates land
+    def _time_phrase(lazy: bool) -> float:
+        times = []
+        for _ in range(5):
+            s = ShardIndex(idx_big, 0)
+            if not lazy:
+                s._has_block_offs = False
+            t0 = time.time()
+            s._eval_phrase_uncached([freq_t, rare_t])
+            times.append(time.time() - t0)
+        return min(times)
+
+    results["phrase_skip_cold_ms"] = round(_time_phrase(True) * 1000, 3)
+    results["phrase_generic_cold_ms"] = round(
+        _time_phrase(False) * 1000, 3)
+    results["phrase_speedup"] = round(
+        results["phrase_generic_cold_ms"]
+        / max(results["phrase_skip_cold_ms"], 1e-9), 2)
+
     # auxiliary operators at the sf dir (documents table scale)
     from search_engine_ray.functions import ann, docops
 

@@ -187,6 +187,12 @@ def ann_topk_lsh(sf_dir: str, k: int = K_DEFAULT, query_vec_id: int = 0,
 
     def partial_topk(b: pa.Table) -> pa.Table:
         ids, sims = _batch_sims(b, ray.get(q_ref))
+        # a vector stored under several tables' buckets can appear more
+        # than once in a batch — dedup BEFORE the per-batch top-k, or
+        # the duplicates crowd real candidates out of the k slots and
+        # the merged result comes up short of k
+        ids, first = np.unique(ids, return_index=True)
+        sims = sims[first]
         order = np.lexsort((ids, -sims))[:k]
         return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
                          "sim": pa.array(sims[order], pa.float64())})

@@ -393,3 +393,47 @@ SELECT vec_a, vec_b, CAST(FLOOR(cos*10000) AS BIGINT) AS cos_bp
 FROM pairs WHERE FLOOR(cos*10000) >= {threshold_bp}
 ORDER BY vec_a, vec_b
 """
+
+
+def ann_topk_lsh_sql(k: int = 10, query_vec_id: int = 0,
+                     n_planes: int = 8, n_tables: int = 4,
+                     seed: int = 42, dim: int = 64) -> str:
+    """Oracle for functions/ann.py ann_topk_lsh: the seeded LSH planes
+    (n_tables × n_planes × dim) are emitted as literal DOUBLE lists; a
+    vector's table-t key is t*256 + an MSB-first 8-bit sign signature
+    (np.packbits semantics → plane p contributes 1<<(7-p)); candidates
+    are vectors sharing ANY of the query's table keys; exact cosine
+    top-k among them, ties by vec_id — the same (rank, vec_id) output.
+    Deterministic because the sign/bucket arithmetic is exact given
+    float64-round-tripped plane literals (same recipe the
+    embedding_neardup oracle proved out)."""
+    import numpy as np
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables, n_planes, dim))
+    assert n_planes <= 8, "signature uses the first 8 sign bits"
+    plane_rows = ",\n".join(
+        "(%d, %d, [%s])" % (t, 1 << (7 - p),
+                            ",".join(repr(float(x))
+                                     for x in planes[t][p]))
+        for t in range(n_tables) for p in range(n_planes))
+    return f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+planes(t, w, p) AS (VALUES {plane_rows}),
+keys AS (SELECT e.vec_id,
+                pl.t*256 + SUM(CASE WHEN list_sum(list_transform(
+                    list_zip(e.v, pl.p), z -> z[1]*z[2])) > 0
+                    THEN pl.w ELSE 0 END) AS key
+         FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t),
+qk AS (SELECT DISTINCT key FROM keys WHERE vec_id = {query_vec_id}),
+cand AS (SELECT DISTINCT kk.vec_id FROM keys kk
+         JOIN qk ON kk.key = qk.key),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id})
+SELECT CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(e.v, (SELECT qv FROM q)) DESC,
+                  e.vec_id) AS BIGINT) AS rank,
+       e.vec_id
+FROM cand c JOIN e ON e.vec_id = c.vec_id
+ORDER BY rank LIMIT {k}
+"""

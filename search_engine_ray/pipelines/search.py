@@ -274,20 +274,26 @@ class ShardIndex:
         self._cache[term] = tp
         return tp
 
-    def lookup_lazy(self, term: str) -> "seg.LazyPostings | None":
+    def lookup_lazy(self, term: str, positions: bool = False
+                    ) -> "seg.LazyPostings | None":
         """Block-lazy postings view (no full decode): only the O(df/128)
-        block metadata materializes; doc/tf blocks decode on first probe
-        through the block_offs seek table."""
+        block metadata materializes; doc/tf (and, with ``positions``,
+        position) blocks decode on first probe through the block_offs
+        seek table. The pos byte stream — the largest column — is only
+        materialized when ``positions`` is requested (phrase plans)."""
         lz = self._lazy.get(term)
-        if lz is not None:
+        if lz is not None and not (positions and not len(lz._pos_bytes)
+                                   and lz.cf):
             return lz
         i = self._find_row(term)
         if i is None:
             return None
+        names = ["df", "cf", "doc_gaps", "tfs", "block_last_doc",
+                 "block_max_impact", "block_offs"]
+        if positions:
+            names.append("pos_gaps")
         row = {name: self._table.column(name)[i].as_py()
-               for name in ("df", "cf", "doc_gaps", "tfs",
-                            "block_last_doc", "block_max_impact",
-                            "block_offs")}
+               for name in names}
         lz = seg.LazyPostings(row)
         if len(self._lazy) >= 1024:
             self._lazy.pop(next(iter(self._lazy)))
@@ -425,6 +431,21 @@ class ShardIndex:
         return out
 
     def _eval_phrase_uncached(self, terms: list[str]) -> np.ndarray:
+        # skewed phrases (one rare word + frequent companions — the
+        # common shape: "the WALRUS said") go block-lazy: the frequent
+        # terms decode only the candidate blocks, docs AND positions
+        # (the reference's skip table serves phrase ISR seeks the same
+        # way, Posts.hpp:448-473). Same engage gates as _conjunctive_topk.
+        if self._has_block_offs and len(terms) >= 2:
+            rows = [self._find_row(t) for t in terms]
+            if any(i is None for i in rows):
+                return _EMPTY
+            dfs = [int(self._table.column("df")[i].as_py())
+                   for i in rows]
+            if max(dfs) >= self.CONJ_SKEW * max(min(dfs), 1) \
+                    and max(dfs) >= self.CONJ_MIN_DF \
+                    and min(dfs) * self.CONJ_BLOCK_COST <= max(dfs):
+                return self._eval_phrase_lazy(terms, dfs)
         tps = []
         for t in terms:
             tp = self.lookup(t)
@@ -477,6 +498,62 @@ class ShardIndex:
         if not len(keys):
             return _EMPTY
         ords = keys >> np.int64(32)  # nondecreasing
+        first = np.concatenate(([True], ords[1:] != ords[:-1]))
+        return cand[ords[first]]
+
+    def _eval_phrase_lazy(self, terms: list[str],
+                          dfs: list[int]) -> np.ndarray:
+        """Phrase docs without fully decoding the frequent terms: the
+        rarest term seeds the candidate set (eager decode — its
+        positions are needed anyway); every other term intersects and
+        position-verifies block-lazily via gather/gather_positions.
+        Bit-identical to the eager path (same candidate set, same
+        (ordinal, shifted-position) key intersection; pinned by
+        tests/test_conjunctive.py)."""
+        seed_j = int(np.argmin(dfs))
+        tp0 = self.lookup(terms[seed_j])
+        if tp0 is None or not len(tp0.doc_ids):
+            return _EMPTY
+        cand = tp0.doc_ids
+        lzs: dict[int, "seg.LazyPostings"] = {}
+        for j in sorted(range(len(terms)), key=lambda j: dfs[j]):
+            if j == seed_j:
+                continue
+            lz = self.lookup_lazy(terms[j], positions=True)
+            if lz is None:
+                return _EMPTY
+            lzs[j] = lz
+            hit, _ = lz.gather(cand)
+            cand = cand[hit]
+            if not len(cand):
+                return _EMPTY
+        # adjacency: intersect (candidate ordinal, position - i) key
+        # sets in term order — exactly the eager flat_keys semantics
+        keys: np.ndarray | None = None
+        for i, t in enumerate(terms):
+            if i == seed_j:
+                idx = np.searchsorted(tp0.doc_ids, cand)
+                starts = tp0.pos_offsets[idx]
+                ln = tp0.pos_offsets[idx + 1] - starts
+                total = int(ln.sum())
+                base = np.repeat(starts, ln)
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(ln) - ln, ln)
+                pos = tp0.positions[base + within]
+                ords = np.repeat(np.arange(len(cand), dtype=np.int64),
+                                 ln)
+            else:
+                hit, pos, counts = lzs[i].gather_positions(cand)
+                # cand was intersected through every term already
+                ords = np.repeat(np.arange(len(cand), dtype=np.int64),
+                                 counts)
+            p = pos - i
+            keep = p >= 0
+            k_i = (ords[keep] << np.int64(32)) | p[keep]
+            keys = k_i if keys is None else _intersect_sorted(keys, k_i)
+            if not len(keys):
+                return _EMPTY
+        ords = keys >> np.int64(32)
         first = np.concatenate(([True], ords[1:] != ords[:-1]))
         return cand[ords[first]]
 

@@ -178,8 +178,8 @@ class LazyPostings:
     skip-seek, Posts.hpp:448-473)."""
 
     __slots__ = ("df", "cf", "block_last_doc", "block_max_impact",
-                 "_doc_bytes", "_tf_bytes", "_offs", "_blk_docs",
-                 "_blk_tfs", "blocks_decoded")
+                 "_doc_bytes", "_tf_bytes", "_pos_bytes", "_offs",
+                 "_blk_docs", "_blk_tfs", "_blk_pos", "blocks_decoded")
 
     def __init__(self, row: dict):
         self.df = row["df"]
@@ -190,14 +190,19 @@ class LazyPostings:
             row["block_max_impact"], dtype=np.float32)
         self._doc_bytes = row["doc_gaps"]
         self._tf_bytes = row["tfs"]
+        # positions are optional: the conjunctive doc-intersection path
+        # never touches them, so callers may omit the (largest) column
+        self._pos_bytes = row.get("pos_gaps", b"")
         n = len(self.block_last_doc)
         offs = np.frombuffer(row["block_offs"], dtype=np.int64
                              ).reshape(n, 3)
         # append end sentinels so block b's byte range is offs[b:b+2]
         self._offs = np.vstack([offs, [len(self._doc_bytes),
-                                       len(self._tf_bytes), 0]])
+                                       len(self._tf_bytes),
+                                       len(self._pos_bytes)]])
         self._blk_docs: dict[int, np.ndarray] = {}
         self._blk_tfs: dict[int, np.ndarray] = {}
+        self._blk_pos: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.blocks_decoded = 0
 
     @property
@@ -226,6 +231,60 @@ class LazyPostings:
             ).astype(np.int64)
             self._blk_tfs[b] = t
         return t
+
+    def block_positions(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """(flat absolute positions, per-posting offsets) for block b.
+        Position gap chains restart at every posting (one posting = one
+        doc), so a block decodes independently: flat cumsum rebased at
+        each posting's start."""
+        pp = self._blk_pos.get(b)
+        if pp is None:
+            if not len(self._pos_bytes):
+                raise ValueError("LazyPostings loaded without pos_gaps")
+            tfs = self.block_tfs(b)
+            raw = varint.decode_u64_stream(
+                self._pos_bytes[self._offs[b, 2]:self._offs[b + 1, 2]]
+            ).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(tfs)))
+            c = np.cumsum(raw)
+            starts = offs[:-1]
+            carry = np.where(starts > 0, c[starts - 1], 0)
+            pos = c - np.repeat(carry, tfs)
+            pp = (pos, offs)
+            self._blk_pos[b] = pp
+        return pp
+
+    def gather_positions(self, cand: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(hit mask over cand, flat positions of the hits in cand
+        order, per-hit position counts) — the phrase-verification
+        analogue of gather(): only the blocks the candidates land in
+        decode their doc/tf/position streams."""
+        hit, tfs_hit = self.gather(cand)
+        c = cand[hit]
+        e = np.empty(0, dtype=np.int64)
+        if not len(c):
+            return hit, e, e
+        blk = np.searchsorted(self.block_last_doc, c)
+        counts = tfs_hit
+        out_offs = np.concatenate(([0], np.cumsum(counts)))
+        flat = np.empty(int(out_offs[-1]), dtype=np.int64)
+        ub, ustarts = np.unique(blk, return_index=True)
+        ubounds = np.append(ustarts, len(blk))
+        for bi in range(len(ub)):
+            b = int(ub[bi])
+            lo, hi = int(ubounds[bi]), int(ubounds[bi + 1])
+            docs_b = self._blk_docs[b]  # cached by gather() above
+            pos_b, offs_b = self.block_positions(b)
+            idx = np.searchsorted(docs_b, c[lo:hi])
+            starts = offs_b[idx]
+            ln = offs_b[idx + 1] - starts
+            total = int(ln.sum())
+            base = np.repeat(starts, ln)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(ln) - ln, ln)
+            flat[out_offs[lo]:out_offs[lo] + total] = pos_b[base + within]
+        return hit, flat, counts
 
     def _block_counts(self, blocks: np.ndarray) -> np.ndarray:
         """Posting count per block: BLOCK_SIZE except the final block."""

@@ -153,3 +153,66 @@ def test_gather_random_subsets(shard_setup):
         np.testing.assert_array_equal(hit, expect_hit)
         np.testing.assert_array_equal(
             tfs, tp.tfs[expect_pos[expect_hit]])
+
+
+def test_phrase_lazy_matches_eager(shard_setup):
+    """The block-lazy phrase path returns exactly the eager path's doc
+    set, across random vocab bigrams/trigrams (incl. empty results)."""
+    from search_engine_ray.pipelines.search import ShardIndex
+
+    out, man = shard_setup
+    sh_lazy = ShardIndex(out, 0)
+    sh_lazy.CONJ_MIN_DF = 1
+    sh_lazy.CONJ_BLOCK_COST = 0
+    sh_eager = ShardIndex(out, 0)
+    sh_eager._has_block_offs = False  # force the eager path
+    vocab = [t for t, _ in _df_sorted_vocab(sh_lazy)]
+    rng = np.random.default_rng(5)
+    # real adjacent bigrams/trigrams, reconstructed from one document's
+    # position lists (guaranteed non-empty phrase results)
+    doc0 = int(sh_eager.lookup(vocab[0]).doc_ids[0])
+    seq: dict[int, str] = {}
+    for t in vocab:
+        tp = sh_eager.lookup(t)
+        j = int(np.searchsorted(tp.doc_ids, doc0))
+        if j < len(tp.doc_ids) and tp.doc_ids[j] == doc0:
+            for p in tp.positions_for(j):
+                seq[int(p)] = t
+    real = []
+    for p, t in sorted(seq.items()):
+        if p + 1 in seq:
+            real.append([t, seq[p + 1]])
+        if p + 1 in seq and p + 2 in seq:
+            real.append([t, seq[p + 1], seq[p + 2]])
+    assert real, "fixture doc yielded no adjacent pairs"
+    trials = real[:20]
+    for trial in range(60):
+        n = int(rng.integers(2, 4))
+        trials.append([vocab[int(rng.integers(0, len(vocab)))]
+                       for _ in range(n)])
+    nonempty = 0
+    for picks in trials:
+        got = sh_lazy._eval_phrase_uncached(picks)
+        want = sh_eager._eval_phrase_uncached(picks)
+        np.testing.assert_array_equal(got, want, err_msg=str(picks))
+        nonempty += bool(len(want))
+    assert nonempty >= 1  # the comparison exercised real matches
+
+
+def test_phrase_lazy_skips_decoding(shard_setup):
+    """A rare-seeded phrase never puts the frequent term in the eager
+    cache and touches a bounded number of its blocks."""
+    from search_engine_ray.pipelines.search import ShardIndex
+
+    out, _ = shard_setup
+    sh = ShardIndex(out, 0)
+    sh.CONJ_MIN_DF = 1
+    sh.CONJ_BLOCK_COST = 0
+    vocab = _df_sorted_vocab(sh)
+    freq_term = vocab[0][0]
+    rare_term = next(t for t, d in reversed(vocab) if d >= 1)
+    sh._eval_phrase_uncached([freq_term, rare_term])
+    assert freq_term not in sh._cache
+    lz = sh._lazy[freq_term]
+    rare_df = dict(vocab)[rare_term]
+    assert lz.blocks_decoded <= min(lz.nblocks, rare_df)
