@@ -154,7 +154,8 @@ def run_bench() -> dict:
     eng.close()
     eng_t = SearchEngine(index_dir, profile="throughput")
     fp = FrontendPool(index_dir, eng_t.actors,
-                      n_frontends=max(2, NUM_CPUS // 4))
+                      n_frontends=max(2, NUM_CPUS // 4),
+                      actor_shards=eng_t._actor_shards)
     stream = [q for q in REF_QUERIES] * 5
     fp.search_stream(stream[:len(REF_QUERIES)])  # warm frontends
     qps_runs = []

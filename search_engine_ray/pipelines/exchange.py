@@ -31,6 +31,7 @@ import pyarrow.parquet as pq
 
 from ..kernels import varint
 from ..stages.emit import emit_postings_columnar
+from ..state import bloom
 from ..state import segments as seg
 
 
@@ -198,12 +199,17 @@ class _GroupMergeWorker:
             or self._marker_ok(self.docmeta_dir, s)
 
     def _write_shard_dir(self, root: str, s: int, tab: pa.Table,
-                         filename: str) -> None:
+                         filename: str,
+                         extra_files: dict[str, bytes] | None = None
+                         ) -> None:
         dst = os.path.join(root, f"shard={s}")
         tmp = f"{dst}.{os.getpid()}.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         pq.write_table(tab, os.path.join(tmp, filename))
+        for name, payload in (extra_files or {}).items():
+            with open(os.path.join(tmp, name), "wb") as f:
+                f.write(payload)
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write(self.build_id)
         shutil.rmtree(dst, ignore_errors=True)
@@ -441,8 +447,14 @@ class _GroupMergeWorker:
                         [r["block_offs"][i] for i in t_order],
                         pa.binary()),
                 })
-                self._write_shard_dir(self.segments_dir, sh, tab,
-                                      "segment.parquet")
+                # vocab bloom alongside the segment (atomic with it):
+                # the engine prunes query fan-out with it — an actor
+                # whose shards can't contain any plan term is never
+                # RPC'd (state/bloom.py)
+                self._write_shard_dir(
+                    self.segments_dir, sh, tab, "segment.parquet",
+                    extra_files={"_vocab.bloom": bloom.build(
+                        [r["term"][i] for i in t_order])})
                 out_shard.append(sh)
                 out_terms.append(tab.num_rows)
             if timing:

@@ -37,6 +37,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..query import compile as qc
+from ..state import bloom as sb
 from ..state import segments as seg
 
 SYN_WEIGHT = 0.4  # Ranker.hpp:110
@@ -929,7 +930,8 @@ class SearchEngine:
     def __init__(self, index_dir: str, num_searchers: int | None = None,
                  use_synonyms: bool = True, cache_size: int = 0,
                  use_wand: bool = True, actors: list | None = None,
-                 profile: str = "latency"):
+                 profile: str = "latency",
+                 actor_shards: list[list[int]] | None = None):
         # use_wand=True (round-3 default): the block-max path is now
         # vectorized block-at-a-time (interval overlay + batched numpy
         # scoring, see ShardIndex.wand_topk), so its per-doc constant
@@ -949,11 +951,15 @@ class SearchEngine:
         self.synsets = qc.get_default_synsets() if use_synonyms else None
         if actors is not None:
             # share an existing searcher pool (frontend tier): this
-            # engine only compiles, fans out and merges
+            # engine only compiles, fans out and merges. actor_shards
+            # (parallel to actors) enables bloom fan-out pruning.
             self.actors = list(actors)
             self._owns_actors = False
             self._cache_size = cache_size
             self._cache = {}
+            self._actor_shards = ([list(sh) for sh in actor_shards]
+                                  if actor_shards is not None else None)
+            self._load_blooms(index_dir)
             return
         self._owns_actors = True
         if num_searchers is None:
@@ -984,12 +990,48 @@ class SearchEngine:
         self.actors = [SegmentSearcher.remote(index_dir, sh,
                                               wand_ok & set(sh))
                        for sh in assign if sh]
+        self._actor_shards = [sh for sh in assign if sh]
+        self._load_blooms(index_dir)
         ray.get([a.ready.remote() for a in self.actors])
         # optional per-engine result LRU (the reference ships an unused
         # LRU cache template, lib/cache.h — T5); off by default so latency
         # benchmarks stay honest
         self._cache_size = cache_size
         self._cache: dict[tuple[str, int], pa.Table] = {}
+
+    def _load_blooms(self, index_dir: str) -> None:
+        """Per-shard vocab blooms (KBs each, written at merge time):
+        fan-out pruning skips actors whose shards can't contain any
+        plan term — see state/bloom.py for the 10^5-shard scale path."""
+        self._blooms: dict[int, bytes] = {}
+        if self._actor_shards is None:
+            return
+        for sh in self._actor_shards:
+            for s in sh:
+                p = os.path.join(index_dir, "segments", f"shard={s}",
+                                 "_vocab.bloom")
+                try:
+                    with open(p, "rb") as f:
+                        self._blooms[s] = f.read()
+                except OSError:
+                    pass  # pre-bloom index: no pruning for this shard
+
+    def _actor_mask(self, plan) -> "list | None":
+        """Actors whose shards may contain at least one plan term (bloom
+        test, false-positive-only). None = no pruning possible."""
+        if not self._blooms or self._actor_shards is None:
+            return None
+        terms = [t for t, _ in flatten_terms(plan)]
+        if not terms:
+            return None
+        live = []
+        for a, shards in zip(self.actors, self._actor_shards):
+            for s in shards:
+                blob = self._blooms.get(s)
+                if blob is None or sb.contains_any(blob, terms):
+                    live.append(a)
+                    break
+        return live
 
     def idf(self, term: str) -> float:
         df = self._df.get(term, 0)
@@ -1008,13 +1050,19 @@ class SearchEngine:
         plan = self.compile(query)
         merged = []
         if plan is not None:
+            # bloom fan-out pruning: actors whose shards can't contain
+            # any plan term are never RPC'd (empty list = provably no
+            # matches anywhere)
+            targets = self._actor_mask(plan)
+            if targets is None:
+                targets = self.actors
             idf = {t: self.idf(t) for t, _ in flatten_terms(plan)}
             # ray.put once: the plan+idf payload is serialized a single
             # time per query instead of once per actor in the fan-out
             plan_ref, idf_ref = ray.put(plan), ray.put(idf)
             parts = ray.get([a.search.remote(plan_ref, k, idf_ref,
                                              self.avgdl)
-                             for a in self.actors])
+                             for a in targets])
             merged = sorted((r for p in parts for r in p),
                             key=lambda r: (-r[0], r[1]))[:k]
         result = self._table_from_merged(merged)
@@ -1089,9 +1137,11 @@ class _FrontendActor:
     them a fractional CPU + SPREAD scheduling instead."""
 
     def __init__(self, index_dir: str, actors: list,
-                 use_synonyms: bool = True, use_wand: bool = True):
+                 use_synonyms: bool = True, use_wand: bool = True,
+                 actor_shards: list | None = None):
         self.eng = SearchEngine(index_dir, use_synonyms=use_synonyms,
-                                use_wand=use_wand, actors=actors)
+                                use_wand=use_wand, actors=actors,
+                                actor_shards=actor_shards)
 
     def ready(self) -> bool:
         return True
@@ -1110,11 +1160,13 @@ class FrontendPool:
 
     def __init__(self, index_dir: str, actors: list,
                  n_frontends: int = 4, use_synonyms: bool = True,
-                 use_wand: bool = True):
+                 use_wand: bool = True,
+                 actor_shards: list | None = None):
         self.frontends = [
             _FrontendActor.remote(index_dir, list(actors),
                                   use_synonyms=use_synonyms,
-                                  use_wand=use_wand)
+                                  use_wand=use_wand,
+                                  actor_shards=actor_shards)
             for _ in range(n_frontends)]
         ray.get([f.ready.remote() for f in self.frontends])
 
