@@ -1024,11 +1024,12 @@ class SearchEngine:
         terms = [t for t, _ in flatten_terms(plan)]
         if not terms:
             return None
+        hashes = sb.hash_terms(terms)  # hash once, test per blob
         live = []
         for a, shards in zip(self.actors, self._actor_shards):
             for s in shards:
                 blob = self._blooms.get(s)
-                if blob is None or sb.contains_any(blob, terms):
+                if blob is None or sb.contains_any_hashed(blob, hashes):
                     live.append(a)
                     break
         return live

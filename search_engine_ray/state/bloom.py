@@ -33,13 +33,18 @@ _MAGIC = 0x534E424C  # "LBNS"
 _K = 2
 
 
+def hash_terms(terms) -> np.ndarray:
+    """(n, k) raw 64-bit hashes per term — compute ONCE per query, test
+    against any number of blooms with contains_hashed (the per-blob bit
+    positions are just a modulo away)."""
+    h1 = fnv1a_64_np(list(terms))
+    return np.stack([h1, avalanche64(h1)], axis=1)
+
+
 def _positions(terms, m_bits: int) -> np.ndarray:
     """(n, k) bit positions for each term: FNV-1a and its splitmix64
     avalanche as the two independent hash functions."""
-    h1 = fnv1a_64_np(list(terms))
-    h2 = avalanche64(h1)
-    m = np.uint64(m_bits)
-    return np.stack([h1 % m, h2 % m], axis=1)
+    return hash_terms(terms) % np.uint64(m_bits)
 
 
 def build(terms) -> bytes:
@@ -57,17 +62,27 @@ def build(terms) -> bytes:
     return struct.pack("<IIQ", _MAGIC, _K, m_bits) + bits.tobytes()
 
 
-def contains(blob: bytes, terms) -> np.ndarray:
-    """Per-term membership mask (True may be a false positive)."""
+def contains_hashed(blob: bytes, hashes: np.ndarray) -> np.ndarray:
+    """Per-term membership mask from hash_terms output (True may be a
+    false positive)."""
     magic, k, m_bits = struct.unpack_from("<IIQ", blob, 0)
     if magic != _MAGIC or k != _K:
         raise ValueError("not a vocab bloom")
     bits = np.frombuffer(blob, dtype=np.uint8, offset=16)
-    pos = _positions(terms, m_bits)
+    pos = hashes % np.uint64(m_bits)
     byte = (pos >> np.uint64(3)).astype(np.int64)
     mask = (1 << (pos & np.uint64(7))).astype(np.uint8)
     return ((bits[byte] & mask) == mask).all(axis=1)
 
 
+def contains(blob: bytes, terms) -> np.ndarray:
+    """Per-term membership mask (True may be a false positive)."""
+    return contains_hashed(blob, hash_terms(terms))
+
+
 def contains_any(blob: bytes, terms) -> bool:
     return bool(len(terms)) and bool(contains(blob, terms).any())
+
+
+def contains_any_hashed(blob: bytes, hashes: np.ndarray) -> bool:
+    return bool(len(hashes)) and bool(contains_hashed(blob, hashes).any())
