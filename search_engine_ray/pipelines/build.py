@@ -247,7 +247,7 @@ def _build_index(pages_factory, index_dir: str, docs_per_shard: int,
     except Exception:
         pass
 
-    cfg = {"docs_per_shard": docs_per_shard, "version": 15}
+    cfg = {"docs_per_shard": docs_per_shard, "version": 18}
     cfg_hash = hashlib.sha256(
         json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
     os.makedirs(index_dir, exist_ok=True)

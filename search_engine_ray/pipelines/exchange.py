@@ -63,6 +63,36 @@ def _atomic_write(tab: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+def _write_byte_bounded(tab: pa.Table, path: str,
+                        target_bytes: int = 128 << 10,
+                        max_rows: int = 2048) -> None:
+    """Write ``tab`` with BYTE-bounded row groups: split wherever the
+    cumulative binary payload passes ~target_bytes (a single fat row gets
+    its own group), so a lazy per-row read never decompresses more than
+    ~target_bytes no matter how skewed the row sizes are."""
+    import pyarrow.compute as pc
+    w = np.zeros(tab.num_rows, dtype=np.int64)
+    for field in tab.schema:
+        if pa.types.is_binary(field.type) \
+                or pa.types.is_large_binary(field.type) \
+                or pa.types.is_string(field.type):
+            w += pc.binary_length(tab.column(field.name)).cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+    with pq.ParquetWriter(path, tab.schema,
+                          write_statistics=False) as writer:
+        lo, acc, rows = 0, 0, 0
+        for i in range(tab.num_rows):
+            if rows and (acc + w[i] > target_bytes or rows >= max_rows):
+                writer.write_table(tab.slice(lo, i - lo))
+                lo, acc, rows = i, 0, 0
+            acc += int(w[i])
+            rows += 1
+        if tab.num_rows == 0:
+            writer.write_table(tab)
+        elif lo < tab.num_rows:
+            writer.write_table(tab.slice(lo))
+
+
 def _read_partials(files: list[str]) -> pa.Table | None:
     """Concat partial runs; IPC files read zero-copy via mmap (Arrow
     buffers reference the mapping, which stays alive with them)."""
@@ -200,8 +230,8 @@ class _GroupMergeWorker:
 
     def _write_shard_dir(self, root: str, s: int, tab: pa.Table,
                          filename: str,
-                         extra_files: dict[str, bytes] | None = None
-                         ) -> None:
+                         extra_files: dict[str, bytes] | None = None,
+                         row_group_size: int = 0) -> None:
         dst = os.path.join(root, f"shard={s}")
         tmp = f"{dst}.{os.getpid()}.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -210,9 +240,20 @@ class _GroupMergeWorker:
         # columns at init and pages heavy columns (posting/position
         # bytes, urls/titles) in PER ROW GROUP on first touch — at
         # 100 TB a shard's segment is GBs and actor cold-start must not
-        # materialize it all (ShardIndex, pipelines/search.py)
-        pq.write_table(tab, os.path.join(tmp, filename),
-                       row_group_size=512)
+        # materialize it all (ShardIndex, pipelines/search.py).
+        # Segment rows are wildly size-skewed (a head term's posting
+        # bytes dwarf thousands of tail terms), so groups are BYTE-
+        # bounded (~512 KB; a single fat row gets its own group) —
+        # row_group_size>0 overrides with a fixed row count for
+        # uniform-thin-row tables (docmeta). Statistics are off — the
+        # readers binary-search the term column themselves and min/max
+        # over MB binary cells is pure write-side memcpy.
+        path = os.path.join(tmp, filename)
+        if row_group_size:
+            pq.write_table(tab, path, row_group_size=row_group_size,
+                           write_statistics=False)
+        else:
+            _write_byte_bounded(tab, path)
         for name, payload in (extra_files or {}).items():
             with open(os.path.join(tmp, name), "wb") as f:
                 f.write(payload)
@@ -242,7 +283,7 @@ class _GroupMergeWorker:
             self._write_shard_dir(
                 self.docmeta_dir, s,
                 meta.slice(lo, hi - lo).drop_columns(["shard"]),
-                "docmeta.parquet")
+                "docmeta.parquet", row_group_size=4096)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time as _time

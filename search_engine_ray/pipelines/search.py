@@ -288,7 +288,10 @@ class ShardIndex:
         key = (id(pf), g, col)
         arr = self._rg_cache.get(key)
         if arr is None:
-            arr = pf.read_row_group(g, columns=[col]).column(col)
+            # use_threads=False: the default thread-pool dispatch costs
+            # ~12 ms per small read vs ~0.9 ms single-threaded
+            arr = pf.read_row_group(g, columns=[col],
+                                    use_threads=False).column(col)
             if len(self._rg_cache) >= 256:
                 self._rg_cache.pop(next(iter(self._rg_cache)))
             self._rg_cache[key] = arr
@@ -364,12 +367,25 @@ class ShardIndex:
 
     def doc_meta(self, ordinal: int) -> tuple[str, str]:
         """(url, title) of a doc by its shard ordinal — paged in per
-        row group (only the ≤k result rows per query ever need them)."""
+        row group (only the ≤k result rows per query ever need them);
+        both columns fetch in ONE group read."""
         i = int(self._doc_order[ordinal])
-        return (self._cell(self._doc_pf, self._doc_rg_starts,
-                           self._doc_full, i, "url"),
-                self._cell(self._doc_pf, self._doc_rg_starts,
-                           self._doc_full, i, "title"))
+        if self._doc_pf is None:
+            return (self._doc_full.column("url")[i].as_py(),
+                    self._doc_full.column("title")[i].as_py())
+        g = int(np.searchsorted(self._doc_rg_starts, i,
+                                side="right") - 1)
+        key = (id(self._doc_pf), g, "url+title")
+        tab = self._rg_cache.get(key)
+        if tab is None:
+            tab = self._doc_pf.read_row_group(
+                g, columns=["url", "title"], use_threads=False)
+            if len(self._rg_cache) >= 256:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache[key] = tab
+        loc = i - int(self._doc_rg_starts[g])
+        return (tab.column("url")[loc].as_py(),
+                tab.column("title")[loc].as_py())
 
     def doc_id_of(self, ordinals: np.ndarray) -> np.ndarray:
         """Map shard ordinals to real doc ids (output boundary only)."""
