@@ -96,3 +96,42 @@ def test_parquet_exchange_format_equals_ipc(tmp_path, monkeypatch):
                 meta.sort_by([("doc_id", "ascending")]).to_pydict())
 
     assert run("ipc") == run("parquet")
+
+
+def test_byte_bounded_row_groups():
+    """Row groups split on cumulative binary payload: no group (except a
+    single-fat-row one) exceeds ~target bytes, content round-trips, and
+    a lone huge row lands in its own group."""
+    from search_engine_ray.pipelines.exchange import _write_byte_bounded
+
+    rng = np.random.default_rng(4)
+    payloads = [rng.bytes(int(n)) for n in
+                [100] * 50 + [300_000] + [100] * 50]
+    tab = pa.table({
+        "term": pa.array([f"t{i:04d}" for i in range(len(payloads))]),
+        "doc_gaps": pa.array(payloads, pa.binary()),
+    })
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "seg.parquet")
+        _write_byte_bounded(tab, path, target_bytes=4096)
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        assert md.num_row_groups > 1
+        sizes, rows = [], []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            rows.append(rg.num_rows)
+            sizes.append(sum(rg.column(c).total_uncompressed_size
+                             for c in range(rg.num_columns)))
+        # the 300KB row must be alone in its group
+        assert 1 in rows
+        # every other group's payload stays near the target
+        small = [s for s, r in zip(sizes, rows) if r > 1]
+        assert all(s < 3 * 4096 + 8192 for s in small), small
+        # exact round-trip
+        assert pf.read().equals(tab)
+        # empty table still writes a valid file
+        path2 = os.path.join(d, "empty.parquet")
+        _write_byte_bounded(tab.slice(0, 0), path2)
+        assert pq.read_table(path2).num_rows == 0
