@@ -686,10 +686,17 @@ class ShardIndex:
            path's smallest-doc-id rule exactly (same float-add order,
            same lexicographic (-score, doc_id) selection).
         """
+        # with a block_offs seek table the whole WAND runs over
+        # LazyPostings: the interval overlay needs only block metadata,
+        # and the score loop decodes just the visited intervals' blocks
+        # — a frequent term whose low-impact blocks are pruned is never
+        # decoded there (the eager path remains for pre-seek-table
+        # indexes)
+        lazy = self._has_block_offs
         tws = []
         for term, w in weighted_terms:
-            tp = self.lookup(term)
-            if tp is not None and w > 0 and len(tp.doc_ids):
+            tp = (self.lookup_lazy(term) if lazy else self.lookup(term))
+            if tp is not None and w > 0 and tp.df:
                 tws.append((tp, w))
         if not tws:
             return []
@@ -702,7 +709,8 @@ class ShardIndex:
                 tp.block_max_impact.astype(np.float64), np.inf) * w
             lasts = tp.block_last_doc
             starts = np.empty_like(lasts)
-            starts[0] = tp.doc_ids[0]
+            starts[0] = (tp.block_docs(0)[0] if lazy
+                         else tp.doc_ids[0])
             starts[1:] = lasts[:-1] + 1
             xs.append(starts)
             deltas.append(ub)
@@ -744,8 +752,28 @@ class ShardIndex:
                     take, done = take[:cut], True
             docs_l, imp_l = [], []
             for tp, w in tws:
-                a = np.searchsorted(tp.doc_ids, lo[take])
-                b = np.searchsorted(tp.doc_ids, hi[take])
+                if lazy:
+                    # every interval lies inside ONE block of this term
+                    # (its own block edges are interval boundaries):
+                    # decode only the touched blocks; their ascending
+                    # concatenation is sorted, so the same global
+                    # searchsorted gather applies
+                    blk = np.searchsorted(tp.block_last_doc, lo[take])
+                    need = np.unique(blk[blk < tp.nblocks])
+                    if not len(need):
+                        continue
+                    tp.ensure_blocks(need)
+                    # accessors, not the raw caches: block 0's docs may
+                    # have been decoded alone for the overlay's first
+                    # boundary, leaving its tfs to decode on demand here
+                    t_docs = np.concatenate(
+                        [tp.block_docs(int(x)) for x in need])
+                    t_tfs = np.concatenate(
+                        [tp.block_tfs(int(x)) for x in need])
+                else:
+                    t_docs, t_tfs = tp.doc_ids, tp.tfs
+                a = np.searchsorted(t_docs, lo[take])
+                b = np.searchsorted(t_docs, hi[take])
                 cnt = b - a
                 tot = int(cnt.sum())
                 if tot == 0:
@@ -753,8 +781,8 @@ class ShardIndex:
                 ends = np.cumsum(cnt)
                 fi = (np.arange(tot, dtype=np.int64)
                       - np.repeat(ends - cnt, cnt) + np.repeat(a, cnt))
-                dsub = tp.doc_ids[fi]
-                imp = w * seg.bm25_impact(tp.tfs[fi], self.doc_dl(dsub),
+                dsub = t_docs[fi]
+                imp = w * seg.bm25_impact(t_tfs[fi], self.doc_dl(dsub),
                                           avgdl)
                 docs_l.append(dsub)
                 imp_l.append(imp)
@@ -869,9 +897,13 @@ class ShardIndex:
         if wand_terms is not None and len(wand_terms) > 32:
             wand_terms = None
         if wand_terms is not None:
-            total_df = sum(tp.df for tp in
-                           (self.lookup(t) for t, _ in wand_terms)
-                           if tp is not None)
+            # df from the light metadata table — probing the gate must
+            # not decode (or page in) any posting bytes
+            total_df = 0
+            for t, _ in wand_terms:
+                i = self._find_row(t)
+                if i is not None:
+                    total_df += int(self._table.column("df")[i].as_py())
             if total_df < 4096 * max(1, len(wand_terms)):
                 wand_terms = None
         if wand_terms is not None:

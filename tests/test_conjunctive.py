@@ -216,3 +216,27 @@ def test_phrase_lazy_skips_decoding(shard_setup):
     lz = sh._lazy[freq_term]
     rare_df = dict(vocab)[rare_term]
     assert lz.blocks_decoded <= min(lz.nblocks, rare_df)
+
+
+def test_wand_lazy_decodes_bounded_blocks(shard_setup):
+    """With a seek table, WAND runs over LazyPostings and decodes only
+    the visited intervals' blocks — a pruned frequent term is never
+    eagerly decoded; results stay identical to the eager-decode path."""
+    from search_engine_ray.pipelines.search import ShardIndex
+
+    out, man = shard_setup
+    avgdl = man["stats"]["avgdl"]
+    s = ShardIndex(out, 0)
+    assert s._has_block_offs
+    dfs = _df_sorted_vocab(s)
+    terms = [(t, 1.0 + i * 0.3) for i, (t, _) in enumerate(dfs[:3])]
+    got = s.wand_topk(terms, 10, avgdl)
+    s2 = ShardIndex(out, 0)
+    s2._has_block_offs = False  # force eager decode
+    want = s2.wand_topk(terms, 10, avgdl)
+    assert got == want
+    # the eager posting cache stays untouched on the lazy instance
+    assert all(t not in s._cache for t, _ in terms)
+    for t, _ in terms:
+        lz = s._lazy[t]
+        assert lz.blocks_decoded <= lz.nblocks

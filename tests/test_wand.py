@@ -159,3 +159,4 @@ def test_exhaustive_topk_method_matches(shard_indexes):
         assert [d for _, d in got] == [d for d, _ in expect]
         wand = shard.wand_topk(terms, 10, avgdl)
         assert [d for _, d in wand] == [d for _, d in got]
+
