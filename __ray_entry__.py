@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "gopher_quality": textstats.gopher_quality,
         "quality_score": textstats.quality_score,
+        "unigram_surprisal": textstats.unigram_surprisal,
         "fingerprints": textstats.fingerprints,
         # multimodal actor-pool stages (real in-container decode: WAV,
         # BMP, PNG, animated GIF; only JPEG/mp4-class codecs stubbed)
@@ -212,12 +213,13 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk"] = ann.SQL_ANN_TOPK
     from search_engine_ray.functions.sessions import SQL_SESSIONIZE
     out["events_sessionize"] = SQL_SESSIONIZE
-    from search_engine_ray.functions.textstats import (SQL_GOPHER_QUALITY,
-                                                       SQL_LANG_ID,
-                                                       SQL_QUALITY_SCORE)
+    from search_engine_ray.functions.textstats import (
+        SQL_GOPHER_QUALITY, SQL_LANG_ID, SQL_QUALITY_SCORE,
+        SQL_UNIGRAM_SURPRISAL)
     out["gopher_quality"] = SQL_GOPHER_QUALITY
     out["lang_id"] = SQL_LANG_ID
     out["quality_score"] = SQL_QUALITY_SCORE
+    out["unigram_surprisal"] = SQL_UNIGRAM_SURPRISAL
     from search_engine_ray.functions.sketches import SQL_TOP_TERMS
     out["top_terms_sketch"] = SQL_TOP_TERMS
     # link_edges: the synthesized page template embeds exactly one anchor

@@ -344,3 +344,98 @@ SELECT *,
             THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
 FROM f ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+def _floor_log2_exact(q: np.ndarray) -> np.ndarray:
+    """floor(log2(q)) for positive int64 via the float64 exponent
+    (frexp) — EXACT for any integer < 2^53, no libm rounding hazard."""
+    return (np.frexp(q.astype(np.float64))[1] - 1).astype(np.int64)
+
+
+def unigram_surprisal(sf_dir: str):
+    """Per-document surprisal under the corpus unigram LM — the
+    standard LLM-pretraining quality signal (low = boilerplate /
+    repeated text, high = rare-token-heavy) — in EXACT integer
+    arithmetic so the DuckDB oracle hashes bit-for-bit:
+
+        rarity(t)       = floor(log2(total_tokens // count(t)))
+        surprisal_milli = 1000 * Σ_tok rarity(tok)  //  n_tokens(doc)
+
+    floor(log2(int)) is computed from the float64 exponent (exact for
+    ints < 2^53 on both engines). Two passes: (1) distributed
+    groupby-sum token counts; (2) map_batches scoring against the
+    ray.put-broadcast (vocab, rarity) arrays with one vectorized
+    ``index_in`` probe per batch. At 100 TB the vocabulary outgrows the
+    driver — the scale path keeps counts hash-partitioned and joins
+    tokens to counts by shuffle (same tradeoff as decontaminate's
+    gram-set broadcast)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = _tokens_per_doc(b.column("text"))
+        vc = pc.value_counts(flat)
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("tok").aggregate(Sum("n", alias_name="n"))
+                .take_all())
+    toks = pa.array([r["tok"] for r in counts], pa.string())
+    cnt = np.asarray([r["n"] for r in counts], dtype=np.int64)
+    total = int(cnt.sum())
+    rarity = _floor_log2_exact(np.maximum(total // np.maximum(cnt, 1), 1))
+    payload = ray.put((toks, rarity))
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab, rar = ray.get(payload)
+        texts = b.column("text")
+        n_docs = len(b)
+        flat, n_tok = _tokens_per_doc(texts)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
+        idx = pc.index_in(flat, value_set=vocab).to_numpy(
+            zero_copy_only=False)
+        acc = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(acc, doc_of, rar[idx])
+        milli = 1000 * acc // np.maximum(n_tok, 1)
+        milli[n_tok == 0] = 0
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "surprisal_milli": pa.array(milli, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_UNIGRAM_SURPRISAL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), c AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY tok
+), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS s FROM c),
+r AS (
+  SELECT tok,
+         CAST(FLOOR(LOG2(CAST(GREATEST(
+             (SELECT s FROM tot) // cnt, 1) AS DOUBLE))) AS BIGINT)
+           AS rar
+  FROM c
+), d AS (
+  SELECT f.doc_id, SUM(r.rar) AS tot_r, COUNT(*) AS n
+  FROM f JOIN r USING (tok) GROUP BY f.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(1000 * d.tot_r // d.n, 0) AS BIGINT)
+         AS surprisal_milli,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_tokens
+FROM t LEFT JOIN d ON t.doc_id = d.doc_id
+ORDER BY t.doc_id
+"""
