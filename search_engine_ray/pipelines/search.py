@@ -1213,20 +1213,43 @@ class SearchEngine:
         live = [(qi, p) for qi, p in enumerate(plans) if p is not None]
         out: list[pa.Table] = [self._table_from_merged([])
                                for _ in queries]
-        if live:
-            sub_plans = [p for _, p in live]
-            idfs = [{t: self.idf(t) for t, _ in flatten_terms(p)}
-                    for p in sub_plans]
-            plans_ref, idfs_ref = ray.put(sub_plans), ray.put(idfs)
-            futs = [a.search_many.remote(plans_ref, k, idfs_ref,
-                                         self.avgdl)
-                    for a in self.actors]
-            per_actor = ray.get(futs)
-            for j, (qi, _) in enumerate(live):
-                merged = sorted((r for parts in per_actor
-                                 for r in parts[j]),
-                                key=lambda r: (-r[0], r[1]))[:k]
-                out[qi] = self._table_from_merged(merged)
+        if not live:
+            return out
+        # bloom fan-out pruning per query: each actor evaluates only the
+        # sublist of queries its shards can match (results identical —
+        # a pruned actor would have returned [] for those queries)
+        masks = [self._actor_mask(p) for _, p in live]
+        actor_qs: list[list[int]] = [[] for _ in self.actors]
+        actor_pos = {id(a): ai for ai, a in enumerate(self.actors)}
+        for j, m in enumerate(masks):
+            for a in (self.actors if m is None else m):
+                actor_qs[actor_pos[id(a)]].append(j)
+        idfs = [{t: self.idf(t) for t, _ in flatten_terms(p)}
+                for _, p in live]
+        sub_plans = [p for _, p in live]
+        futs, fut_qs = [], []
+        put_cache: dict[tuple, tuple] = {}  # identical sublists (the
+        # no-pruning common case) serialize once, not once per actor
+        for ai, qjs in enumerate(actor_qs):
+            if not qjs:
+                continue
+            key = tuple(qjs)
+            refs = put_cache.get(key)
+            if refs is None:
+                refs = (ray.put([sub_plans[j] for j in qjs]),
+                        ray.put([idfs[j] for j in qjs]))
+                put_cache[key] = refs
+            futs.append(self.actors[ai].search_many.remote(
+                refs[0], k, refs[1], self.avgdl))
+            fut_qs.append(qjs)
+        per_query: list[list] = [[] for _ in live]
+        for parts, qjs in zip(ray.get(futs), fut_qs):
+            for local, j in enumerate(qjs):
+                per_query[j].extend(parts[local])
+        for j, (qi, _) in enumerate(live):
+            merged = sorted(per_query[j],
+                            key=lambda r: (-r[0], r[1]))[:k]
+            out[qi] = self._table_from_merged(merged)
         return out
 
     def close(self) -> None:

@@ -66,17 +66,22 @@ def test_engine_prunes_and_matches_unpruned(ray_session, tmp_path):
         plan = qc.Word(rare, rare)
         live = eng._actor_mask(plan)
         assert live is not None and len(live) < len(eng.actors)
-        # pruned vs unpruned: identical results across query shapes
+        # pruned vs unpruned: identical results across query shapes,
+        # for BOTH the interactive and the batch path
         queries = [rare, f"{rare} | word1", f"{rare} & word2",
                    "absentterm12345", ""]
-        for q in queries:
+        batched = eng.search_batch(queries, k=10)
+        for q, bt in zip(queries, batched):
             pruned = eng.search(q, k=10)
+            assert bt.equals(pruned), q
             blooms, eng._blooms = eng._blooms, {}
             try:
                 full = eng.search(q, k=10)
+                full_b = eng.search_batch([q], k=10)[0]
             finally:
                 eng._blooms = blooms
             assert pruned.equals(full), q
+            assert bt.equals(full_b), q
         # provably-absent term: zero RPCs (empty actor list), empty result
         none_plan = qc.Word("qqzzabsent", "qqzzabsent")
         assert eng._actor_mask(none_plan) == [] or \
