@@ -312,3 +312,76 @@ FROM x
 GROUP BY event_type, window_us
 ORDER BY event_type, window_us
 """
+
+
+# ---------------------------------------------------------------------------
+def events_asof_join(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "click"):
+    """As-of join — the custom operator Ray Data lacks natively: for
+    every ``left_type`` event, the most recent ``right_type`` event of
+    the SAME user at-or-before its timestamp (classic attribution /
+    state-lookup shape).
+
+    Expressed as groupby(user).map_groups: the hash shuffle co-locates
+    each user's events (the documented partitioning assumption — at
+    100 TB the join never needs a global sort, only the per-user
+    groups), and the in-group probe is one vectorized searchsorted of
+    the left timestamps into the right timestamps. DuckDB twin: native
+    ASOF LEFT JOIN (hash-exact, including null no-match rows)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    ds = ds.filter(
+        expr=f"event_type == '{left_type}' or "
+             f"event_type == '{right_type}'")
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        types = g.column("event_type").to_pylist()
+        is_l = np.asarray([t == left_type for t in types])
+        order = np.argsort(ts, kind="stable")
+        l_idx = order[is_l[order]]
+        r_idx = order[~is_l[order]]
+        if not len(l_idx):
+            return pa.table({
+                "purchase_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "purchase_ts": pa.array([], pa.timestamp("us")),
+                "click_id": pa.array([], pa.int64()),
+                "click_ts": pa.array([], pa.timestamp("us")),
+                "lag_us": pa.array([], pa.int64()),
+            })
+        pos = np.searchsorted(ts[r_idx], ts[l_idx], side="right") - 1
+        hit = pos >= 0
+        m_ids = np.where(hit, ids[r_idx][np.clip(pos, 0, None)], -1)
+        m_ts = np.where(hit, ts[r_idx][np.clip(pos, 0, None)].astype(
+            "datetime64[us]").astype(np.int64), 0)
+        l_ts_us = ts[l_idx].astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "purchase_id": pa.array(ids[l_idx], pa.int64()),
+            "user_id": pa.array(users[l_idx], pa.int64()),
+            "purchase_ts": pa.array(l_ts_us, pa.timestamp("us")),
+            "click_id": pa.array(
+                np.where(hit, m_ids, 0), pa.int64(),
+                mask=~hit),
+            "click_ts": pa.array(m_ts, pa.timestamp("us"), mask=~hit),
+            "lag_us": pa.array(
+                np.where(hit, l_ts_us - m_ts, 0), pa.int64(),
+                mask=~hit),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+"""
