@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": relational.events_hopping_window,
         "events_sessionize": _sessionize,
         "events_asof_join": relational.events_asof_join,
+        "events_range_join": relational.events_range_join,
         "orders_by_month": relational.orders_by_month,
         "top_parts_by_price": relational.top_parts_by_price,
         "suppliers_per_region": relational.suppliers_per_region,
@@ -215,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_ray.functions.sessions import SQL_SESSIONIZE
     out["events_sessionize"] = SQL_SESSIONIZE
     out["events_asof_join"] = relational.SQL_EVENTS_ASOF
+    out["events_range_join"] = relational.SQL_EVENTS_RANGE_JOIN
     from search_engine_ray.functions.textstats import (
         SQL_GOPHER_QUALITY, SQL_LANG_ID, SQL_QUALITY_SCORE,
         SQL_UNIGRAM_SURPRISAL)

@@ -385,3 +385,88 @@ FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY purchase_id
 """
+
+
+# ---------------------------------------------------------------------------
+_RANGE_W_US = 7_200_000_000  # ±2 h (the sf events are hours apart)
+
+
+def events_range_join(sf_dir: str, window_us: int = _RANGE_W_US):
+    """Range (interval) join — the other custom join the brief names:
+    every error event paired with the SAME user's purchase events
+    within ±window. Distributed via BANDING: time is bucketed into
+    window-sized bands keyed (user, band); the purchase side replicates
+    into its band ±1 so every qualifying pair co-locates in exactly one
+    group (the error's band), then a vectorized in-group filter keeps
+    |Δts| ≤ window. Shuffle volume = 3× the purchase rows — never a
+    cross product, never a global sort. DuckDB twin: plain predicate
+    join (hash-exact)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    ds = ds.filter(expr="event_type == 'error' or "
+                        "event_type == 'purchase'")
+
+    def band(b: pa.Table) -> pa.Table:
+        ts_us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = b.column("event_id").to_numpy(zero_copy_only=False)
+        users = b.column("user_id").to_numpy(zero_copy_only=False)
+        is_err = np.asarray(
+            [t == "error" for t in b.column("event_type").to_pylist()])
+        bands = ts_us // window_us
+        reps, off = [], [0]
+        # errors live in their own band; purchases replicate to band±1
+        for shift in (-1, 0, 1):
+            sel = ~is_err if shift else np.ones(len(ids), dtype=bool)
+            reps.append(pa.table({
+                "key": pa.array(users[sel] * 100_000_000
+                                + bands[sel] + shift, pa.int64()),
+                "event_id": pa.array(ids[sel], pa.int64()),
+                "ts_us": pa.array(ts_us[sel], pa.int64()),
+                "is_err": pa.array(is_err[sel] & (shift == 0)),
+            }))
+        return pa.concat_tables(reps)
+
+    def per_group(g: pa.Table) -> pa.Table:
+        is_err = g.column("is_err").to_numpy(zero_copy_only=False)
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        e_ids, e_ts = ids[is_err], ts[is_err]
+        p_o = np.argsort(ts[~is_err], kind="stable")
+        p_ids, p_ts = ids[~is_err][p_o], ts[~is_err][p_o]
+        out_e, out_p, out_d = [], [], []
+        if len(e_ids) and len(p_ids):
+            lo = np.searchsorted(p_ts, e_ts - window_us, side="left")
+            hi = np.searchsorted(p_ts, e_ts + window_us, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot:
+                ends = np.cumsum(cnt)
+                fi = (np.arange(tot, dtype=np.int64)
+                      - np.repeat(ends - cnt, cnt) + np.repeat(lo, cnt))
+                out_e = np.repeat(e_ids, cnt)
+                out_p = p_ids[fi]
+                out_d = p_ts[fi] - np.repeat(e_ts, cnt)
+        return pa.table({
+            "error_id": pa.array(np.asarray(out_e, dtype=np.int64),
+                                 pa.int64()),
+            "purchase_id": pa.array(np.asarray(out_p, dtype=np.int64),
+                                    pa.int64()),
+            "delta_us": pa.array(np.asarray(out_d, dtype=np.int64),
+                                 pa.int64()),
+        })
+
+    return (ds.map_batches(band, batch_format="pyarrow")
+              .groupby("key")
+              .map_groups(per_group, batch_format="pyarrow"))
+
+
+SQL_EVENTS_RANGE_JOIN = f"""
+SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(e.ts) AS BIGINT) AS delta_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND ABS(epoch_us(p.ts) - epoch_us(e.ts)) <= {_RANGE_W_US}
+ORDER BY error_id, purchase_id
+"""
