@@ -214,7 +214,10 @@ def run_bench() -> dict:
     tdf = sorted(zip(tt.column("term").to_pylist(),
                      tt.column("df").to_pylist()), key=lambda x: -x[1])
     freq_terms = [(t, 1.7) for t, _ in tdf[:1]]
-    sh.lookup(freq_terms[0][0])  # warm decode (both paths share it)
+    # warm BOTH paths' decode caches: the lazy WAND pages blocks via
+    # lookup_lazy (not the eager cache), so one untimed call per path
+    sh.wand_topk(freq_terms, 10, avgdl_big)
+    sh.exhaustive_topk(freq_terms, 10, avgdl_big)
     for label, fn in (("wand", sh.wand_topk), ("exhaustive",
                                                sh.exhaustive_topk)):
         t0 = time.time()

@@ -352,12 +352,19 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
                 "click_ts": pa.array([], pa.timestamp("us")),
                 "lag_us": pa.array([], pa.int64()),
             })
-        pos = np.searchsorted(ts[r_idx], ts[l_idx], side="right") - 1
-        hit = pos >= 0
-        m_ids = np.where(hit, ids[r_idx][np.clip(pos, 0, None)], -1)
-        m_ts = np.where(hit, ts[r_idx][np.clip(pos, 0, None)].astype(
-            "datetime64[us]").astype(np.int64), 0)
         l_ts_us = ts[l_idx].astype("datetime64[us]").astype(np.int64)
+        if len(r_idx):
+            pos = np.searchsorted(ts[r_idx], ts[l_idx],
+                                  side="right") - 1
+            hit = pos >= 0
+            safe = np.clip(pos, 0, None)
+            m_ids = np.where(hit, ids[r_idx][safe], -1)
+            m_ts = np.where(hit, ts[r_idx][safe].astype(
+                "datetime64[us]").astype(np.int64), 0)
+        else:  # purchases with no clicks at all: all-null match side
+            hit = np.zeros(len(l_idx), dtype=bool)
+            m_ids = np.full(len(l_idx), -1, dtype=np.int64)
+            m_ts = np.zeros(len(l_idx), dtype=np.int64)
         return pa.table({
             "purchase_id": pa.array(ids[l_idx], pa.int64()),
             "user_id": pa.array(users[l_idx], pa.int64()),

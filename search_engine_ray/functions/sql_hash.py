@@ -358,7 +358,11 @@ def embedding_neardup_sql(n_planes: int = 4, seed: int = 42,
     cosine are restated over list ops, and the output is the same
     (vec_a, vec_b, cos_bp=floor(cos*10000)) pair list. ``dim`` must match
     the embeddings fixture (64 across the test sf dirs) because the plane
-    literals are dimension-fixed."""
+    literals are dimension-fixed. Float caveat: only the literals are
+    exact — numpy and DuckDB sum dot products in different orders, so a
+    value within ulps of a sign/floor boundary could diverge on some
+    corpus (none exists in the fixtures; validated hash-green at both
+    gate scales)."""
     import numpy as np
     planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
     plane_rows = ",\n".join(
@@ -404,9 +408,13 @@ def ann_topk_lsh_sql(k: int = 10, query_vec_id: int = 0,
     (np.packbits semantics → plane p contributes 1<<(7-p)); candidates
     are vectors sharing ANY of the query's table keys; exact cosine
     top-k among them, ties by vec_id — the same (rank, vec_id) output.
-    Deterministic because the sign/bucket arithmetic is exact given
-    float64-round-tripped plane literals (same recipe the
-    embedding_neardup oracle proved out)."""
+    Float caveat (same as embedding_neardup_sql): the plane LITERALS
+    round-trip exactly, but numpy (SIMD/pairwise) and DuckDB
+    (sequential) sum dot products in different orders, so a projection
+    within a few ulps of 0 could flip a sign bucket between engines on
+    some corpus. No such knife-edge exists in the fixture embeddings
+    (validated hash-green at sf0.001 and sf0.01); a corpus-robust
+    variant would quantize projections before the sign test."""
     import numpy as np
     planes = np.random.default_rng(seed).standard_normal(
         (n_tables, n_planes, dim))

@@ -45,6 +45,13 @@ def append_to_index(pages_factory, index_dir: str, *,
     man = seg.read_manifest(index_dir)
     if man is None or "terms" not in man.get("stages_done", []):
         raise FileNotFoundError(f"no complete index at {index_dir}")
+    if man["stats"].get("posting_format") != "ordinal":
+        # never append ordinal-valued shards onto a pre-v18 index whose
+        # old shards hold raw doc fingerprints — the mix would serve
+        # wrong results with no error at append time
+        raise ValueError(
+            f"index at {index_dir} predates the ordinal posting layout "
+            "(v18); rebuild it with build_index(force=True) first")
     stats = man["stats"]
     old_shards = stats["num_shards"]
     gen = stats.get("generations", 1)
@@ -235,7 +242,16 @@ def refresh_block_max(index_dir: str) -> int:
         tmp = path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        pq.write_table(t, os.path.join(tmp, "segment.parquet"))
+        # same on-disk layout as the merge writer: byte-bounded row
+        # groups (the metadata-only cold start depends on them) and the
+        # vocab bloom carried over unchanged (refresh only rewrites
+        # block_max_impact — the vocabulary is identical)
+        from .exchange import _write_byte_bounded
+        _write_byte_bounded(t, os.path.join(tmp, "segment.parquet"))
+        old_bloom = os.path.join(path, "_vocab.bloom")
+        if os.path.exists(old_bloom):
+            shutil.copyfile(old_bloom,
+                            os.path.join(tmp, "_vocab.bloom"))
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write(f"refresh-{avgdl}")
         shutil.rmtree(path, ignore_errors=True)

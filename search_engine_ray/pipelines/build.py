@@ -247,7 +247,7 @@ def _build_index(pages_factory, index_dir: str, docs_per_shard: int,
     except Exception:
         pass
 
-    cfg = {"docs_per_shard": docs_per_shard, "version": 18}
+    cfg = {"docs_per_shard": docs_per_shard, "version": 19}
     cfg_hash = hashlib.sha256(
         json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
     os.makedirs(index_dir, exist_ok=True)
@@ -424,6 +424,11 @@ def _build_index(pages_factory, index_dir: str, docs_per_shard: int,
         _mark_stage(index_dir, "segments", cfg_hash, n_docs=n_docs,
                     avgdl=avgdl, num_groups=num_groups,
                     wand_stale_shards=[],
+                    # posting doc values are per-shard dense ordinals
+                    # (v18 layout); readers/appenders refuse older
+                    # fingerprint-valued indexes instead of
+                    # misinterpreting them
+                    posting_format="ordinal",
                     segments_wall_s=round(time.time() - t1, 3))
     for a in merge_pool:  # pool spawned but segments already done
         ray.kill(a)

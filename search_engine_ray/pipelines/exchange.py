@@ -78,19 +78,21 @@ def _write_byte_bounded(tab: pa.Table, path: str,
                 or pa.types.is_string(field.type):
             w += pc.binary_length(tab.column(field.name)).cast(
                 pa.int64()).to_numpy(zero_copy_only=False)
+    # boundary scan iterates GROUPS (≈ total_bytes/target), not rows:
+    # greedy farthest-cut via searchsorted on the cumulative weights
+    cum = np.concatenate([[0], np.cumsum(w)])
+    n = tab.num_rows
     with pq.ParquetWriter(path, tab.schema,
                           write_statistics=False) as writer:
-        lo, acc, rows = 0, 0, 0
-        for i in range(tab.num_rows):
-            if rows and (acc + w[i] > target_bytes or rows >= max_rows):
-                writer.write_table(tab.slice(lo, i - lo))
-                lo, acc, rows = i, 0, 0
-            acc += int(w[i])
-            rows += 1
-        if tab.num_rows == 0:
+        if n == 0:
             writer.write_table(tab)
-        elif lo < tab.num_rows:
-            writer.write_table(tab.slice(lo))
+        i = 0
+        while i < n:
+            j = int(np.searchsorted(cum, cum[i] + target_bytes,
+                                    side="right")) - 1
+            j = min(max(j, i + 1), i + max_rows, n)
+            writer.write_table(tab.slice(i, j - i))
+            i = j
 
 
 def _read_partials(files: list[str]) -> pa.Table | None:
@@ -501,7 +503,7 @@ class _GroupMergeWorker:
                 self._write_shard_dir(
                     self.segments_dir, sh, tab, "segment.parquet",
                     extra_files={"_vocab.bloom": bloom.build(
-                        [r["term"][i] for i in t_order])})
+                        tab.column("term"))})
                 out_shard.append(sh)
                 out_terms.append(tab.num_rows)
             if timing:

@@ -1056,6 +1056,13 @@ class SearchEngine:
         man = seg.read_manifest(index_dir)
         if man is None or "terms" not in man.get("stages_done", []):
             raise FileNotFoundError(f"no complete index at {index_dir}")
+        if man["stats"].get("posting_format") != "ordinal":
+            # pre-v18 indexes store raw 63-bit doc fingerprints in the
+            # posting lists; interpreting them as dense ordinals would
+            # IndexError (or worse, mis-score) at query time — fail loud
+            raise ValueError(
+                f"index at {index_dir} predates the ordinal posting "
+                "layout (v18); rebuild it with build_index(force=True)")
         self.n_docs = man["stats"]["n_docs"]
         self.avgdl = man["stats"]["avgdl"]
         num_shards = man["stats"]["num_shards"]

@@ -27,7 +27,7 @@ import struct
 import numpy as np
 
 from ..kernels.shingles import avalanche64
-from ..kernels.textutils import fnv1a_64_np
+from ..kernels.textutils import fnv1a_64_arrow, fnv1a_64_np
 
 _MAGIC = 0x534E424C  # "LBNS"
 _K = 2
@@ -36,8 +36,18 @@ _K = 2
 def hash_terms(terms) -> np.ndarray:
     """(n, k) raw 64-bit hashes per term — compute ONCE per query, test
     against any number of blooms with contains_hashed (the per-blob bit
-    positions are just a modulo away)."""
-    h1 = fnv1a_64_np(list(terms))
+    positions are just a modulo away). Arrow string columns hash
+    through the vectorized byte-position kernel (bit-identical to the
+    scalar FNV) — bloom.build runs per shard on the merge critical
+    path, where a per-byte Python loop over a web-scale vocabulary
+    would be minutes of interpreter time."""
+    import pyarrow as pa
+    if isinstance(terms, (pa.Array, pa.ChunkedArray)):
+        h1 = fnv1a_64_arrow(terms)
+    elif len(terms) > 64:
+        h1 = fnv1a_64_arrow(pa.array(list(terms), pa.string()))
+    else:  # tiny query-term lists: skip the Arrow round-trip
+        h1 = fnv1a_64_np(list(terms))
     return np.stack([h1, avalanche64(h1)], axis=1)
 
 
