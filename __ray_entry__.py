@@ -97,6 +97,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivfpq": ann.ann_topk_ivfpq,
         # flagship: index build + BM25 serving (non-SQL → rows-only check)
         "search_bm25": _search_bm25,
+        # flagship word-only subset WITH a hash-exact DuckDB BM25 twin
+        # (functions/sql_bm25.py): synthesis → parse → stem → dl/avgdl →
+        # Lucene idf → float64 score fold → (-score, doc_id) top-k
+        "search_bm25_words": _search_bm25_words,
         # reference-exact compat ranking, distributed per chunk
         "search_compat": _search_compat,
     }
@@ -157,6 +161,12 @@ def _search_bm25(sf_dir: str) -> Any:
     from search_engine_ray.pipelines.flagship import run_reference_queries
 
     return run_reference_queries(sf_dir)
+
+
+def _search_bm25_words(sf_dir: str) -> Any:
+    from search_engine_ray.pipelines.flagship import run_word_queries
+
+    return run_word_queries(sf_dir)
 
 
 def _media_images(sf_dir: str) -> Any:
@@ -283,4 +293,9 @@ LIMIT 50
     # state the SQL restatement recipe doesn't reach (recall is
     # pytest-gated instead).
     out["ann_topk_lsh"] = sql_hash.ann_topk_lsh_sql()
+    # the flagship itself (word-only plans, synonyms off): full BM25
+    # restated over the synthesized pages — generated FROM the compiled
+    # plan trees so the score fold order matches bit-for-bit (r5)
+    from search_engine_ray.functions.sql_bm25 import bm25_words_sql
+    out["search_bm25_words"] = bm25_words_sql()
     return out

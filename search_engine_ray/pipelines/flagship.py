@@ -51,6 +51,35 @@ def build_sf_index(sf_dir: str, docs_per_shard: int = 2048) -> str:
     return out
 
 
+def run_word_queries(sf_dir: str, k: int = 10,
+                     queries: list[str] | None = None) -> pa.Table:
+    """Flagship BM25 serving over WORD-ONLY query plans with synonym
+    expansion off — the subset whose scoring is fully SQL-expressible,
+    giving the flagship a hash-exact DuckDB oracle
+    (functions/sql_bm25.bm25_words_sql). Returns
+    (query_id, rank, score, doc_id, url, title)."""
+    from ..functions.sql_bm25 import BM25_WORD_QUERIES
+
+    index_dir = build_sf_index(sf_dir)
+    eng = SearchEngine(index_dir, use_synonyms=False)
+    try:
+        batches = []
+        for qid, q in enumerate(queries or BM25_WORD_QUERIES):
+            res = eng.search(q, k=k)
+            n = res.num_rows
+            batches.append(pa.table({
+                "query_id": pa.array([qid] * n, pa.int64()),
+                "rank": res.column("rank"),
+                "score": res.column("score"),
+                "doc_id": res.column("doc_id"),
+                "url": res.column("url"),
+                "title": res.column("title"),
+            }))
+        return pa.concat_tables(batches)
+    finally:
+        eng.close()
+
+
 def run_reference_queries(sf_dir: str, k: int = 10,
                           num_searchers: int | None = None,
                           queries: list[str] | None = None) -> pa.Table:
