@@ -315,34 +315,175 @@ ORDER BY event_type, window_us
 
 
 # ---------------------------------------------------------------------------
+_ASOF_BAND_US = 86_400_000_000  # 1 day
+
+
 def events_asof_join(sf_dir: str, left_type: str = "purchase",
-                     right_type: str = "click"):
+                     right_type: str = "click",
+                     band_us: int = _ASOF_BAND_US):
     """As-of join — the custom operator Ray Data lacks natively: for
     every ``left_type`` event, the most recent ``right_type`` event of
     the SAME user at-or-before its timestamp (classic attribution /
-    state-lookup shape).
+    state-lookup shape). Ties among equal right-side timestamps break
+    deterministically to the LARGEST event_id (mirrored in the oracle).
 
-    Expressed as groupby(user).map_groups: the hash shuffle co-locates
-    each user's events (the documented partitioning assumption — at
-    100 TB the join never needs a global sort, only the per-user
-    groups), and the in-group probe is one vectorized searchsorted of
-    the left timestamps into the right timestamps. DuckDB twin: native
-    ASOF LEFT JOIN (hash-exact, including null no-match rows)."""
+    Distributed like the range join next door: events key on the
+    (user_id, time-band) PAIR so a hot single-user firehose never
+    creates an unbounded group. Cross-band matches are handled by a
+    CARRY-IN row: a small per-(user, band) summary pass computes each
+    band's latest click, a per-user prefix-max over those summaries
+    (group size = #bands per user, not #events) yields "latest click
+    strictly before this band", and that one row is unioned into every
+    band that has purchases. In-group probe: one vectorized
+    searchsorted of purchase timestamps into the (ts, event_id)-sorted
+    click stream. Shuffle volume: 2× the event rows + the tiny summary/
+    carry tables. DuckDB twin: native ASOF LEFT JOIN over per-(user,
+    ts) max-event_id-deduped clicks (hash-exact, incl. null rows)."""
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "ts", "user_id", "event_type"])
     ds = ds.filter(
         expr=f"event_type == '{left_type}' or "
              f"event_type == '{right_type}'")
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = g.column("ts").to_numpy(zero_copy_only=False)
+    def banded(b: pa.Table) -> pa.Table:
+        ts_us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        types = b.column("event_type").to_pylist()
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "band": pa.array(ts_us // band_us, pa.int64()),
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "is_left": pa.array([t == left_type for t in types]),
+        })
+
+    stream = ds.map_batches(banded, batch_format="pyarrow")
+
+    _SUM_SCHEMA = {
+        "user_id": pa.int64(), "band": pa.int64(),
+        "best_ts": pa.int64(), "best_id": pa.int64(),
+        "has_left": pa.bool_(),
+    }
+
+    def summarize(b: pa.Table) -> pa.Table:
+        """Per-batch partial: one row per (user, band) with the latest
+        (ts, event_id) click and a purchases-present flag."""
+        users = b.column("user_id").to_numpy(zero_copy_only=False)
+        bands = b.column("band").to_numpy(zero_copy_only=False)
+        ids = b.column("event_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
+        is_l = b.column("is_left").to_numpy(zero_copy_only=False)
+        if not len(users):
+            return pa.table({k: pa.array([], t)
+                             for k, t in _SUM_SCHEMA.items()})
+        # lexsort: within (user, band), clicks before purchases isn't
+        # needed — rank clicks by (ts, id) and take the segment's last
+        order = np.lexsort((ids, ts, bands, users))
+        u, bd = users[order], bands[order]
+        new = np.empty(len(u), dtype=bool)
+        new[0] = True
+        new[1:] = (u[1:] != u[:-1]) | (bd[1:] != bd[:-1])
+        seg = np.cumsum(new) - 1
+        n_seg = int(seg[-1]) + 1
+        has_left = np.zeros(n_seg, dtype=bool)
+        np.logical_or.at(has_left, seg, is_l[order])
+        # last click per segment: positions of clicks, keep the max
+        # (ts, id) — lexsort already ordered them, so the last click
+        # index within each segment wins
+        click_pos = np.flatnonzero(~is_l[order])
+        best = np.full(n_seg, -1, dtype=np.int64)
+        # max position per segment = the segment's max (ts, id) click
+        np.maximum.at(best, seg[click_pos], click_pos)
+        out_u = u[new]
+        out_b = bd[new]
+        hit = best >= 0
+        safe = np.clip(best, 0, None)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "band": pa.array(out_b, pa.int64()),
+            "best_ts": pa.array(
+                np.where(hit, ts[order][safe], 0), pa.int64(),
+                mask=~hit),
+            "best_id": pa.array(
+                np.where(hit, ids[order][safe], 0), pa.int64(),
+                mask=~hit),
+            "has_left": pa.array(has_left),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        """Merge per-batch summaries of one (user, band)."""
+        mask = g.column("best_ts").is_valid().to_numpy(
+            zero_copy_only=False)
+        # fill_null keeps the arrays int64 (nulls → float64+NaN would
+        # corrupt >2^53 timestamps / event ids)
+        bt = pc.fill_null(g.column("best_ts"), 0).to_numpy(
+            zero_copy_only=False)
+        bi = pc.fill_null(g.column("best_id"), 0).to_numpy(
+            zero_copy_only=False)
+        has = bool(pc.any(g.column("has_left")).as_py())
+        if mask.any():
+            vi = np.flatnonzero(mask)
+            k = vi[np.lexsort((bi[vi], bt[vi]))[-1]]
+            row = {"best_ts": pa.array([int(bt[k])], pa.int64()),
+                   "best_id": pa.array([int(bi[k])], pa.int64())}
+        else:
+            row = {"best_ts": pa.array([None], pa.int64()),
+                   "best_id": pa.array([None], pa.int64())}
+        return pa.table({
+            "user_id": g.column("user_id")[:1],
+            "band": g.column("band")[:1],
+            **row,
+            "has_left": pa.array([has]),
+        })
+
+    summary = (stream.map_batches(summarize, batch_format="pyarrow")
+                     .groupby(["user_id", "band"])
+                     .map_groups(combine, batch_format="pyarrow"))
+
+    def carries(g: pa.Table) -> pa.Table:
+        """Per user: for each band with purchases, the latest click of
+        any STRICTLY EARLIER band (prefix max over band order)."""
+        bands = g.column("band").to_numpy(zero_copy_only=False)
+        order = np.argsort(bands, kind="stable")
+        bands_s = bands[order]
+        bt = pc.fill_null(g.column("best_ts"), 0).to_numpy(
+            zero_copy_only=False)[order]
+        bi = pc.fill_null(g.column("best_id"), 0).to_numpy(
+            zero_copy_only=False)[order]
+        mask = g.column("best_ts").is_valid().to_numpy(
+            zero_copy_only=False)[order]
+        has_l = g.column("has_left").to_numpy(
+            zero_copy_only=False)[order]
+        user = int(g.column("user_id")[0].as_py())
+        out_b, out_ts, out_id = [], [], []
+        cur_ts = cur_id = None
+        for j in range(len(bands_s)):
+            if has_l[j] and cur_ts is not None:
+                out_b.append(int(bands_s[j]))
+                out_ts.append(cur_ts)
+                out_id.append(cur_id)
+            if mask[j]:
+                # within-user bands are disjoint time ranges, so a
+                # later band's best always supersedes (ts strictly
+                # greater) — simple assignment, no (ts, id) compare
+                cur_ts, cur_id = int(bt[j]), int(bi[j])
+        return pa.table({
+            "user_id": pa.array([user] * len(out_b), pa.int64()),
+            "band": pa.array(out_b, pa.int64()),
+            "event_id": pa.array(out_id, pa.int64()),
+            "ts_us": pa.array(out_ts, pa.int64()),
+            "is_left": pa.array([False] * len(out_b)),
+        })
+
+    carry = summary.groupby("user_id").map_groups(
+        carries, batch_format="pyarrow")
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
         ids = g.column("event_id").to_numpy(zero_copy_only=False)
         users = g.column("user_id").to_numpy(zero_copy_only=False)
-        types = g.column("event_type").to_pylist()
-        is_l = np.asarray([t == left_type for t in types])
-        order = np.argsort(ts, kind="stable")
-        l_idx = order[is_l[order]]
-        r_idx = order[~is_l[order]]
+        is_l = g.column("is_left").to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(is_l)
         if not len(l_idx):
             return pa.table({
                 "purchase_id": pa.array([], pa.int64()),
@@ -352,39 +493,41 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
                 "click_ts": pa.array([], pa.timestamp("us")),
                 "lag_us": pa.array([], pa.int64()),
             })
-        l_ts_us = ts[l_idx].astype("datetime64[us]").astype(np.int64)
+        r_idx = np.flatnonzero(~is_l)
+        # deterministic tie-break: sort clicks by (ts, event_id) so the
+        # searchsorted pick among equal timestamps is the max event_id
+        r_idx = r_idx[np.lexsort((ids[r_idx], ts[r_idx]))]
+        l_ts = ts[l_idx]
         if len(r_idx):
-            pos = np.searchsorted(ts[r_idx], ts[l_idx],
-                                  side="right") - 1
+            pos = np.searchsorted(ts[r_idx], l_ts, side="right") - 1
             hit = pos >= 0
             safe = np.clip(pos, 0, None)
             m_ids = np.where(hit, ids[r_idx][safe], -1)
-            m_ts = np.where(hit, ts[r_idx][safe].astype(
-                "datetime64[us]").astype(np.int64), 0)
-        else:  # purchases with no clicks at all: all-null match side
+            m_ts = np.where(hit, ts[r_idx][safe], 0)
+        else:
             hit = np.zeros(len(l_idx), dtype=bool)
             m_ids = np.full(len(l_idx), -1, dtype=np.int64)
             m_ts = np.zeros(len(l_idx), dtype=np.int64)
         return pa.table({
             "purchase_id": pa.array(ids[l_idx], pa.int64()),
             "user_id": pa.array(users[l_idx], pa.int64()),
-            "purchase_ts": pa.array(l_ts_us, pa.timestamp("us")),
+            "purchase_ts": pa.array(l_ts, pa.timestamp("us")),
             "click_id": pa.array(
-                np.where(hit, m_ids, 0), pa.int64(),
-                mask=~hit),
+                np.where(hit, m_ids, 0), pa.int64(), mask=~hit),
             "click_ts": pa.array(m_ts, pa.timestamp("us"), mask=~hit),
             "lag_us": pa.array(
-                np.where(hit, l_ts_us - m_ts, 0), pa.int64(),
-                mask=~hit),
+                np.where(hit, l_ts - m_ts, 0), pa.int64(), mask=~hit),
         })
 
-    return ds.groupby("user_id").map_groups(per_user,
-                                            batch_format="pyarrow")
+    return (stream.union(carry)
+                  .groupby(["user_id", "band"])
+                  .map_groups(per_group, batch_format="pyarrow"))
 
 
 SQL_EVENTS_ASOF = """
 WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-c AS (SELECT * FROM events WHERE event_type = 'click')
+c AS (SELECT user_id, ts, MAX(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
 SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
        c.event_id AS click_id, c.ts AS click_ts,
        CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
@@ -421,13 +564,17 @@ def events_range_join(sf_dir: str, window_us: int = _RANGE_W_US):
         is_err = np.asarray(
             [t == "error" for t in b.column("event_type").to_pylist()])
         bands = ts_us // window_us
-        reps, off = [], [0]
-        # errors live in their own band; purchases replicate to band±1
+        reps = []
+        # errors live in their own band; purchases replicate to band±1.
+        # The group key is the (user_id, band) PAIR — a packed
+        # user*C+band single key silently collides for band >= C (e.g.
+        # second-granularity windows over epoch-µs timestamps), pairing
+        # events of different users.
         for shift in (-1, 0, 1):
             sel = ~is_err if shift else np.ones(len(ids), dtype=bool)
             reps.append(pa.table({
-                "key": pa.array(users[sel] * 100_000_000
-                                + bands[sel] + shift, pa.int64()),
+                "user_id": pa.array(users[sel], pa.int64()),
+                "band": pa.array(bands[sel] + shift, pa.int64()),
                 "event_id": pa.array(ids[sel], pa.int64()),
                 "ts_us": pa.array(ts_us[sel], pa.int64()),
                 "is_err": pa.array(is_err[sel] & (shift == 0)),
@@ -464,7 +611,7 @@ def events_range_join(sf_dir: str, window_us: int = _RANGE_W_US):
         })
 
     return (ds.map_batches(band, batch_format="pyarrow")
-              .groupby("key")
+              .groupby(["user_id", "band"])
               .map_groups(per_group, batch_format="pyarrow"))
 
 
