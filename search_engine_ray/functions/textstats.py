@@ -353,7 +353,7 @@ def _floor_log2_exact(q: np.ndarray) -> np.ndarray:
     return (np.frexp(q.astype(np.float64))[1] - 1).astype(np.int64)
 
 
-def unigram_surprisal(sf_dir: str):
+def unigram_surprisal(sf_dir: str, vocab_gate: int = 2_000_000):
     """Per-document surprisal under the corpus unigram LM — the
     standard LLM-pretraining quality signal (low = boilerplate /
     repeated text, high = rare-token-heavy) — in EXACT integer
@@ -363,13 +363,18 @@ def unigram_surprisal(sf_dir: str):
         surprisal_milli = 1000 * Σ_tok rarity(tok)  //  n_tokens(doc)
 
     floor(log2(int)) is computed from the float64 exponent (exact for
-    ints < 2^53 on both engines). Two passes: (1) distributed
-    groupby-sum token counts; (2) map_batches scoring against the
-    ray.put-broadcast (vocab, rarity) arrays with one vectorized
-    ``index_in`` probe per batch. At 100 TB the vocabulary outgrows the
-    driver — the scale path keeps counts hash-partitioned and joins
-    tokens to counts by shuffle (same tradeoff as decontaminate's
-    gram-set broadcast)."""
+    ints < 2^53 on both engines). Token counts come from a distributed
+    pre-aggregated groupby; then the path is SIZE-GATED on vocabulary
+    rows (same pattern as build.py's dedup gate):
+
+    - vocab <= ``vocab_gate``: broadcast (``ray.put`` once) + one
+      vectorized ``index_in`` probe per batch;
+    - vocab >  ``vocab_gate``: the vocabulary never lands on the
+      driver — doc tokens shuffle to their count partition
+      (groupby(tok) join), per-doc rarity partials re-shuffle by
+      doc_id, and a final doc-keyed merge attaches n_tokens. Three
+      hash exchanges, each pre-aggregated, no corpus-sized driver
+      materialization."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -381,34 +386,117 @@ def unigram_surprisal(sf_dir: str):
         return pa.table({"tok": vc.field("values"),
                          "n": vc.field("counts").cast(pa.int64())})
 
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-                .groupby("tok").aggregate(Sum("n", alias_name="n"))
-                .take_all())
-    toks = pa.array([r["tok"] for r in counts], pa.string())
-    cnt = np.asarray([r["n"] for r in counts], dtype=np.int64)
-    total = int(cnt.sum())
-    rarity = _floor_log2_exact(np.maximum(total // np.maximum(cnt, 1), 1))
-    payload = ray.put((toks, rarity))
+    counts_ds = (ds.map_batches(partial, batch_format="pyarrow")
+                   .groupby("tok").aggregate(Sum("n", alias_name="n"))
+                   .materialize())  # vocab-sized, object-store-bounded
+    n_vocab = counts_ds.count()
+    total = int(counts_ds.aggregate(Sum("n", alias_name="s"))["s"])
 
-    def score(b: pa.Table) -> pa.Table:
-        vocab, rar = ray.get(payload)
-        texts = b.column("text")
-        n_docs = len(b)
-        flat, n_tok = _tokens_per_doc(texts)
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
-        idx = pc.index_in(flat, value_set=vocab).to_numpy(
-            zero_copy_only=False)
-        acc = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(acc, doc_of, rar[idx])
-        milli = 1000 * acc // np.maximum(n_tok, 1)
-        milli[n_tok == 0] = 0
+    if n_vocab <= vocab_gate:
+        counts = counts_ds.take_all()
+        toks = pa.array([r["tok"] for r in counts], pa.string())
+        cnt = np.asarray([r["n"] for r in counts], dtype=np.int64)
+        rarity = _floor_log2_exact(
+            np.maximum(total // np.maximum(cnt, 1), 1))
+        payload = ray.put((toks, rarity))
+
+        def score(b: pa.Table) -> pa.Table:
+            vocab, rar = ray.get(payload)
+            texts = b.column("text")
+            n_docs = len(b)
+            flat, n_tok = _tokens_per_doc(texts)
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
+            idx = pc.index_in(flat, value_set=vocab).to_numpy(
+                zero_copy_only=False)
+            acc = np.zeros(n_docs, dtype=np.int64)
+            np.add.at(acc, doc_of, rar[idx])
+            milli = 1000 * acc // np.maximum(n_tok, 1)
+            milli[n_tok == 0] = 0
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "surprisal_milli": pa.array(milli, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+            })
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # ---- distributed path: hash-partitioned token→count join ----
+    def rarity_rows(b: pa.Table) -> pa.Table:
+        cnt = b.column("n").to_numpy(zero_copy_only=False)
+        rar = _floor_log2_exact(
+            np.maximum(total // np.maximum(cnt, 1), 1))
+        return pa.table({"tok": b.column("tok"),
+                         "doc_id": pa.nulls(len(b), pa.int64()),
+                         "w": pa.array(rar, pa.int64())})
+
+    def doc_tok_rows(b: pa.Table) -> pa.Table:
+        """(tok, doc_id, w=occurrences) — pre-aggregated per batch so
+        the token shuffle carries one row per distinct (doc, tok)."""
+        flat, n_tok = _tokens_per_doc(b.column("text"))
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(doc_ids, n_tok)
+        combo = pa.table({"tok": flat,
+                          "doc_id": pa.array(doc_of, pa.int64())})
+        gb = combo.group_by(["tok", "doc_id"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"tok": gb.column("tok"),
+                         "doc_id": gb.column("doc_id"),
+                         "w": gb.column("count_all").cast(pa.int64())})
+
+    def join_tok(g: pa.Table) -> pa.Table:
+        """One token's partition: rarity row (null doc_id) + per-doc
+        occurrence rows → per-doc rarity partial (w_occ * rarity)."""
+        doc = g.column("doc_id")
+        isr = pc.is_null(doc).to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        r = int(w[isr][0]) if isr.any() else 0
+        keep = ~isr
         return pa.table({
-            "doc_id": b.column("doc_id"),
-            "surprisal_milli": pa.array(milli, pa.int64()),
-            "n_tokens": pa.array(n_tok, pa.int64()),
+            "doc_id": pa.array(
+                pc.fill_null(doc, 0).to_numpy(
+                    zero_copy_only=False)[keep], pa.int64()),
+            "rs": pa.array(w[keep] * r, pa.int64()),
         })
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    tok_partials = (
+        ds.map_batches(doc_tok_rows, batch_format="pyarrow")
+          .union(counts_ds.map_batches(rarity_rows,
+                                       batch_format="pyarrow"))
+          .groupby("tok").map_groups(join_tok, batch_format="pyarrow"))
+    acc = tok_partials.groupby("doc_id").aggregate(
+        Sum("rs", alias_name="rs"))
+
+    def doc_ntok(b: pa.Table) -> pa.Table:
+        _, n_tok = _tokens_per_doc(b.column("text"))
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                         "rs": pa.nulls(len(b), pa.int64()),
+                         "n_tokens": pa.array(n_tok, pa.int64())})
+
+    def finish(g: pa.Table) -> pa.Table:
+        rs_col = g.column("rs")
+        have = pc.is_valid(rs_col).to_numpy(zero_copy_only=False)
+        rs = int(pc.fill_null(rs_col, 0).to_numpy(
+            zero_copy_only=False)[have][0]) if have.any() else 0
+        nt_col = g.column("n_tokens")
+        ntv = pc.is_valid(nt_col).to_numpy(zero_copy_only=False)
+        nt = int(pc.fill_null(nt_col, 0).to_numpy(
+            zero_copy_only=False)[ntv][0]) if ntv.any() else 0
+        milli = 1000 * rs // max(nt, 1) if nt else 0
+        return pa.table({
+            "doc_id": g.column("doc_id")[:1].cast(pa.int64()),
+            "surprisal_milli": pa.array([milli], pa.int64()),
+            "n_tokens": pa.array([nt], pa.int64()),
+        })
+
+    def acc_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                         "rs": b.column("rs").cast(pa.int64()),
+                         "n_tokens": pa.nulls(len(b), pa.int64())})
+
+    return (ds.map_batches(doc_ntok, batch_format="pyarrow")
+              .union(acc.map_batches(acc_rows, batch_format="pyarrow"))
+              .groupby("doc_id")
+              .map_groups(finish, batch_format="pyarrow"))
 
 
 SQL_UNIGRAM_SURPRISAL = r"""
@@ -423,10 +511,12 @@ WITH t AS (
   SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY tok
 ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS s FROM c),
 r AS (
+  -- floor(log2(q)) in pure integer arithmetic (bit length - 1): libm
+  -- LOG2 can round UP to the integer for ratios just below a power of
+  -- two >= ~2^47, diverging from the engine's exact frexp floor
   SELECT tok,
-         CAST(FLOOR(LOG2(CAST(GREATEST(
-             (SELECT s FROM tot) // cnt, 1) AS DOUBLE))) AS BIGINT)
-           AS rar
+         CAST(length(bin(GREATEST((SELECT s FROM tot) // cnt, 1))) - 1
+              AS BIGINT) AS rar
   FROM c
 ), d AS (
   SELECT f.doc_id, SUM(r.rar) AS tot_r, COUNT(*) AS n

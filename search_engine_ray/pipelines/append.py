@@ -210,6 +210,13 @@ def refresh_block_max(index_dir: str) -> int:
     shards refreshed."""
     man = seg.read_manifest(index_dir)
     stats = man["stats"]
+    if stats.get("posting_format") != "ordinal":
+        # same guard as SearchEngine/append_to_index: pre-v18 postings
+        # hold raw doc fingerprints — indexing d_dls with them would
+        # die with an opaque IndexError (or silently mis-score)
+        raise ValueError(
+            f"index at {index_dir} predates the ordinal posting layout "
+            "(v18); rebuild it with build_index(force=True)")
     avgdl = stats["avgdl"]
     stale = sorted(stats.get("wand_stale_shards", []))
     segments_dir = os.path.join(index_dir, "segments")

@@ -286,7 +286,7 @@ class ShardIndex:
             return full.column(col)[i].as_py()
         g = int(np.searchsorted(rg_starts, i, side="right") - 1)
         key = (id(pf), g, col)
-        arr = self._rg_cache.get(key)
+        arr = self._rg_cache.pop(key, None)
         if arr is None:
             # use_threads=False: the default thread-pool dispatch costs
             # ~12 ms per small read vs ~0.9 ms single-threaded
@@ -294,7 +294,10 @@ class ShardIndex:
                                     use_threads=False).column(col)
             if len(self._rg_cache) >= 256:
                 self._rg_cache.pop(next(iter(self._rg_cache)))
-            self._rg_cache[key] = arr
+        # pop + reinsert = move-to-end: eviction order is true LRU, not
+        # FIFO insertion order (a hot metadata group must never be
+        # evicted while cold ones sit in the map)
+        self._rg_cache[key] = arr
         return arr[i - int(rg_starts[g])].as_py()
 
     def _seg_cell(self, i: int, col: str):
@@ -1316,14 +1319,33 @@ class FrontendPool:
         ray.get([f.ready.remote() for f in self.frontends])
 
     def search_stream(self, queries: list[str], k: int = 10,
-                      chunk: int = 4) -> list[pa.Table]:
-        futs = []
-        for i in range(0, len(queries), chunk):
-            f = self.frontends[(i // chunk) % len(self.frontends)]
-            futs.append(f.search_many.remote(queries[i:i + chunk], k))
+                      chunk: int = 4, depth: int = 2) -> list[pa.Table]:
+        """Bounded in-flight serving: at most ``depth`` chunks queued
+        per frontend; each completion hands the NEXT chunk to whichever
+        frontend freed up (ray.wait), so one slow frontend slows only
+        its in-flight work instead of serializing a static share."""
+        chunks = [(ci, queries[i:i + chunk])
+                  for ci, i in enumerate(range(0, len(queries), chunk))]
+        parts: list[list[pa.Table] | None] = [None] * len(chunks)
+        pending: dict = {}  # future -> (chunk_index, frontend)
+        nxt = 0
+        for f in self.frontends * depth:
+            if nxt >= len(chunks):
+                break
+            ci, qs = chunks[nxt]
+            pending[f.search_many.remote(qs, k)] = (ci, f)
+            nxt += 1
+        while pending:
+            done, _ = ray.wait(list(pending), num_returns=1)
+            ci, f = pending.pop(done[0])
+            parts[ci] = ray.get(done[0])
+            if nxt < len(chunks):
+                cj, qs = chunks[nxt]
+                pending[f.search_many.remote(qs, k)] = (cj, f)
+                nxt += 1
         out: list[pa.Table] = []
-        for part in ray.get(futs):
-            out.extend(part)
+        for part in parts:
+            out.extend(part or [])
         return out
 
     def close(self) -> None:

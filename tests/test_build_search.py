@@ -274,3 +274,33 @@ def test_frontend_pool_matches_engine(index_dir, ray_session):
         eng.close()
         # shared pool must survive a frontend close: closing the engine
         # after the pool killed its frontends still worked above
+
+
+def test_row_group_cache_is_lru():
+    """_cell's bounded cache must evict least-recently-USED (move-to-end
+    on hit), not insertion order: touch key 0 after filling, insert one
+    more, and key 0 must survive while key 1 is evicted."""
+    import types
+
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines import search as S
+
+    reads = []
+
+    class FakePF:
+        def read_row_group(self, g, columns=None, use_threads=False):
+            reads.append(g)
+            return pa.table({columns[0]: pa.array([f"v{g}"])})
+
+    obj = types.SimpleNamespace(_rg_cache={})
+    pf = FakePF()
+    starts = __import__("numpy").arange(0, 300)  # 1 row per group
+    cell = lambda i: S.ShardIndex._cell(obj, pf, starts, None, i, "c")
+    for i in range(256):       # fill to capacity
+        cell(i)
+    assert cell(0) == "v0" and reads.count(0) == 1  # hit, moved to end
+    cell(256)                  # evicts LRU = group 1, NOT group 0
+    assert (id(pf), 0, "c") in obj._rg_cache
+    assert (id(pf), 1, "c") not in obj._rg_cache
+    assert cell(0) == "v0" and reads.count(0) == 1  # still cached

@@ -458,3 +458,27 @@ def test_image_decode_is_real_jpeg(ray_session):
     xs = np.arange(8) * img.shape[1] // 8
     expect = (img[ys][:, xs].astype(np.float32) / 255.0).transpose(2, 0, 1)
     assert np.array_equal(feats, expect)
+
+
+def test_unigram_surprisal_distributed_path(ray_session):
+    """Force the hash-partitioned token→count join (vocab_gate=1) and
+    pin it identical to the broadcast path AND to the DuckDB oracle —
+    the 100-TB shape where the vocabulary never lands on the driver."""
+    import duckdb
+
+    from search_engine_ray.functions.textstats import (
+        SQL_UNIGRAM_SURPRISAL, unigram_surprisal)
+
+    sf = "/root/testdata/sf0.001"
+    broad = unigram_surprisal(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    dist = unigram_surprisal(sf, vocab_gate=1).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert broad.equals(dist[broad.columns])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(SQL_UNIGRAM_SURPRISAL).fetchdf()
+    assert dist[["doc_id", "surprisal_milli", "n_tokens"]].equals(
+        ora[["doc_id", "surprisal_milli", "n_tokens"]].astype("int64"))
