@@ -1048,7 +1048,8 @@ class SearchEngine:
                  use_synonyms: bool = True, cache_size: int = 0,
                  use_wand: bool = True, actors: list | None = None,
                  profile: str = "latency",
-                 actor_shards: list[list[int]] | None = None):
+                 actor_shards: list[list[int]] | None = None,
+                 use_directory: bool = True, dir_pool=None):
         # use_wand=True (round-3 default): the block-max path is now
         # vectorized block-at-a-time (interval overlay + batched numpy
         # scoring, see ShardIndex.wand_topk), so its per-doc constant
@@ -1084,6 +1085,8 @@ class SearchEngine:
             self._actor_shards = ([list(sh) for sh in actor_shards]
                                   if actor_shards is not None else None)
             self._load_blooms(index_dir)
+            self._setup_directory(index_dir, man["stats"],
+                                  use_directory, dir_pool)
             return
         self._owns_actors = True
         if num_searchers is None:
@@ -1116,12 +1119,34 @@ class SearchEngine:
                        for sh in assign if sh]
         self._actor_shards = [sh for sh in assign if sh]
         self._load_blooms(index_dir)
+        self._setup_directory(index_dir, man["stats"],
+                              use_directory, dir_pool)
         ray.get([a.ready.remote() for a in self.actors])
         # optional per-engine result LRU (the reference ships an unused
         # LRU cache template, lib/cache.h — T5); off by default so latency
         # benchmarks stay honest
         self._cache_size = cache_size
         self._cache: dict[tuple[str, int], pa.Table] = {}
+
+    def _setup_directory(self, index_dir: str, stats: dict,
+                         use_directory: bool, dir_pool) -> None:
+        """Exact two-hop fan-out routing (state/term_directory.py):
+        adopt a shared DirectoryPool, or spin one up when the on-disk
+        directory matches the live manifest. Never required — absent or
+        stale directories fall back to Bloom pruning."""
+        from ..state import term_directory as td
+        self._dir_pool = dir_pool
+        self._owns_dir_pool = False
+        if dir_pool is not None or not use_directory \
+                or not self._owns_actors:
+            # shared-searcher engines (frontend tier) only ADOPT a pool:
+            # spinning one per frontend would multiply directory actors
+            return
+        meta = td.directory_matches(index_dir, stats)
+        if meta is not None and self._actor_shards is not None:
+            self._dir_pool = td.DirectoryPool(index_dir,
+                                              meta["n_buckets"])
+            self._owns_dir_pool = True
 
     def _load_blooms(self, index_dir: str) -> None:
         """Per-shard vocab blooms (KBs each, written at merge time):
@@ -1141,12 +1166,25 @@ class SearchEngine:
                     pass  # pre-bloom index: no pruning for this shard
 
     def _actor_mask(self, plan) -> "list | None":
-        """Actors whose shards may contain at least one plan term (bloom
-        test, false-positive-only). None = no pruning possible."""
-        if not self._blooms or self._actor_shards is None:
+        """Actors whose shards may contain at least one plan term.
+        Directory routing when available (EXACT: a rare term RPCs only
+        the actors owning its shards; an absent term RPCs nobody), else
+        the per-shard Bloom test (false-positive-only). None = no
+        pruning possible."""
+        if self._actor_shards is None:
             return None
         terms = [t for t, _ in flatten_terms(plan)]
         if not terms:
+            return None
+        if self._dir_pool is not None:
+            shard_map = self._dir_pool.shards_for(terms)
+            want = {int(s) for arr in shard_map.values() for s in arr}
+            if not want:
+                return []
+            return [a for a, shards in zip(self.actors,
+                                           self._actor_shards)
+                    if any(s in want for s in shards)]
+        if not self._blooms:
             return None
         hashes = sb.hash_terms(terms)  # hash once, test per blob
         live = []
@@ -1267,6 +1305,10 @@ class SearchEngine:
             for a in self.actors:
                 ray.kill(a)
         self.actors = []
+        if getattr(self, "_owns_dir_pool", False) \
+                and self._dir_pool is not None:
+            self._dir_pool.close()
+        self._dir_pool = None
 
 
 # ---------------------------------------------------------------------------
@@ -1286,10 +1328,11 @@ class _FrontendActor:
 
     def __init__(self, index_dir: str, actors: list,
                  use_synonyms: bool = True, use_wand: bool = True,
-                 actor_shards: list | None = None):
+                 actor_shards: list | None = None, dir_pool=None):
         self.eng = SearchEngine(index_dir, use_synonyms=use_synonyms,
                                 use_wand=use_wand, actors=actors,
-                                actor_shards=actor_shards)
+                                actor_shards=actor_shards,
+                                dir_pool=dir_pool)
 
     def ready(self) -> bool:
         return True
@@ -1309,12 +1352,15 @@ class FrontendPool:
     def __init__(self, index_dir: str, actors: list,
                  n_frontends: int = 4, use_synonyms: bool = True,
                  use_wand: bool = True,
-                 actor_shards: list | None = None):
+                 actor_shards: list | None = None, dir_pool=None):
+        # one shared DirectoryPool handle set: frontends route through
+        # the same directory actors (each keeps its own term cache)
         self.frontends = [
             _FrontendActor.remote(index_dir, list(actors),
                                   use_synonyms=use_synonyms,
                                   use_wand=use_wand,
-                                  actor_shards=actor_shards)
+                                  actor_shards=actor_shards,
+                                  dir_pool=dir_pool)
             for _ in range(n_frontends)]
         ray.get([f.ready.remote() for f in self.frontends])
 
