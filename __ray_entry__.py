@@ -172,21 +172,21 @@ def _search_bm25_words(sf_dir: str) -> Any:
 def _media_images(sf_dir: str) -> Any:
     from search_engine_ray.functions.multimodal import media_pipeline
 
-    images, _, _ = media_pipeline()
+    images, _, _ = media_pipeline(sf_dir=sf_dir)
     return images
 
 
 def _media_video(sf_dir: str) -> Any:
     from search_engine_ray.functions.multimodal import media_pipeline
 
-    _, _, video = media_pipeline()
+    _, _, video = media_pipeline(sf_dir=sf_dir)
     return video
 
 
 def _media_audio(sf_dir: str) -> Any:
     from search_engine_ray.functions.multimodal import media_pipeline
 
-    _, audio, _ = media_pipeline()
+    _, audio, _ = media_pipeline(sf_dir=sf_dir)
     return audio
 
 

@@ -32,6 +32,8 @@ store handles spill (ray_guide 'Memory-aware').
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -407,17 +409,23 @@ def _gif_payload(rng: np.random.Generator, w: int, h: int,
     return gif_encode(frames, delay_ms)
 
 
-def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic media corpus: audio rows carry REAL WAV payloads,
-    image rows REAL BMPs/PNGs, video rows REAL animated GIF89a — every
-    modality decodes for real with zero codec deps."""
-    rng = np.random.default_rng(seed)
+def synth_media_batch(ids, seed: int = 42) -> pa.Table:
+    """Deterministic media rows for the given media_ids: audio rows
+    carry REAL WAV payloads, image rows REAL BMPs/PNGs/JPEGs, video
+    rows REAL animated GIF89a — every modality decodes for real with
+    zero codec deps. Seeded PER ID ((seed<<20)^id, like the page
+    synthesis) so the corpus is identical at any batching/parallelism —
+    the distributed-synthesis requirement."""
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
-    for i in range(n):
+    for i in ids:
+        i = int(i)
+        rng = np.random.default_rng((seed << 20) ^ i)
         kind = kinds[i % 3]
         if kind == "audio":
-            payload = _wav_payload(rng, 16000, 1000 + i * 37)
+            # duration bounded (i % 64) so web-scale ids don't synthesize
+            # multi-minute WAV payloads
+            payload = _wav_payload(rng, 16000, 1000 + (i % 64) * 37)
         elif kind == "image":
             payload = _bmp_payload(rng, 64 + (i % 8) * 32,
                                    48 + (i % 6) * 32)
@@ -453,9 +461,29 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         rows["sample_rate"].append(16000 if kind == "audio" else 0)
         rows["duration_ms"].append(
             (4 + i % 5) * 100 if kind == "video"
-            else (1000 + i * 37 if kind == "audio" else 0))
+            else (1000 + (i % 64) * 37 if kind == "audio" else 0))
     return pa.table({f.name: pa.array(rows[f.name], f.type)
                      for f in MEDIA_SCHEMA})
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Driver-side corpus for tests/small runs (same rows the
+    distributed synthesis produces for ids 0..n-1)."""
+    return synth_media_batch(np.arange(n), seed)
+
+
+def synth_media_dataset(n: int, seed: int = 42):
+    """Distributed media synthesis: rd.range drives per-id generation
+    inside map_batches, so corpus creation scales with the cluster
+    instead of looping on the driver."""
+    import ray.data as rd
+
+    def gen(b: pa.Table) -> pa.Table:
+        return synth_media_batch(
+            b.column("id").to_numpy(zero_copy_only=False), seed)
+
+    return rd.range(n).map_batches(gen, batch_format="pyarrow",
+                                   batch_size=64)
 
 
 class ImageDecodeResize:
@@ -666,19 +694,41 @@ class VideoFrameSample:
         })
 
 
-def media_pipeline(n: int = 64):
+def media_rows_for_sf(sf_dir: str) -> int:
+    """Media corpus size for an sf dir: one media row per 10 event rows
+    (events is the table that scales with sf), floor 64."""
+    import pyarrow.parquet as pq
+
+    try:
+        n_events = pq.read_metadata(
+            os.path.join(sf_dir, "events.parquet")).num_rows
+    except OSError:
+        return 64
+    return max(64, n_events // 10)
+
+
+def media_pipeline(n: int | None = None, sf_dir: str | None = None,
+                   concurrency: int | None = None):
     """Demo pipeline over the synthetic media table: decode+resize images
     (actor pool, small batches for wide binary rows), frame-sample audio
-    and video; returns (image_features, audio_frames, video_frames)."""
-    import ray.data as rd
+    and video; returns (image_features, audio_frames, video_frames).
 
-    # from_arrow yields ONE block; split it so the 2-actor pools get
-    # parallel inputs (and the actor-pool underutilization warning goes)
-    media = rd.from_arrow(synth_media_table(n)).repartition(8)
+    ``sf_dir`` scales the corpus with the scale factor (events//10) and
+    synthesizes it DISTRIBUTED, so the decode actor pools see sf-sized
+    input instead of a fixed 64-row demo table."""
+    if n is None:
+        n = media_rows_for_sf(sf_dir) if sf_dir else 64
+    if concurrency is None:
+        # pure-Python codecs are CPU-bound: size the pool to the node,
+        # capped so three stages don't oversubscribe it
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, min(12, cpus // 3))
+    media = synth_media_dataset(n)
     images = media.map_batches(ImageDecodeResize, batch_format="pyarrow",
-                               batch_size=8, concurrency=2)
+                               batch_size=8, concurrency=concurrency)
     audio = media.map_batches(AudioFrameSample, batch_format="pyarrow",
-                              batch_size=8, concurrency=2)
+                              batch_size=8, concurrency=concurrency)
     video = media.map_batches(VideoFrameSample, batch_format="pyarrow",
-                              batch_size=8, concurrency=2)
+                              batch_size=8, concurrency=concurrency)
     return images, audio, video
