@@ -181,6 +181,26 @@ def run_bench() -> dict:
     results["prune_actors_absent"] = (len(m0) if m0 is not None
                                       else len(eng_t.actors))
     results["n_actors_total"] = len(eng_t.actors)
+
+    # two-hop term directory (exact routing): same probes through a
+    # directory-routed engine sharing the throughput searcher pool —
+    # a rare term RPCs O(its shards), an absent term RPCs nobody
+    from search_engine_ray.state.term_directory import (DirectoryPool,
+                                                        build_term_directory,
+                                                        read_meta)
+    t0 = time.time()
+    build_term_directory(index_dir, n_buckets=32)
+    results["dir_build_sec"] = round(time.time() - t0, 3)
+    pool = DirectoryPool(index_dir, read_meta(index_dir)["n_buckets"])
+    eng_d = SearchEngine(index_dir, actors=eng_t.actors,
+                         actor_shards=eng_t._actor_shards, dir_pool=pool)
+    md = eng_d._actor_mask(eng_d.compile(rare_q))
+    results["dir_actors_rare"] = (len(md) if md is not None
+                                  else len(eng_t.actors))
+    md0 = eng_d._actor_mask(eng_d.compile("qqzzneverindexed"))
+    results["dir_actors_absent"] = (len(md0) if md0 is not None
+                                    else len(eng_t.actors))
+    pool.close()
     eng = eng_t  # batch mode below uses the throughput pool too
 
     # batch serving (search_many: one RPC per actor per batch — the
@@ -310,6 +330,18 @@ def run_bench() -> dict:
         if hasattr(out, "materialize"):
             out.materialize()
         results[f"{name}_sec"] = round(time.time() - t0, 3)
+
+    # media decode throughput: the three actor-pool codec stages
+    # (BMP/PNG/JPEG decode+resize, WAV frame windows, GIF frame sample)
+    # over a fixed 999-row distributed-synthesized corpus
+    from search_engine_ray.functions.multimodal import media_pipeline
+    t0 = time.time()
+    images, audio, video = media_pipeline(n=999)
+    n_media = images.count() + audio.count() + video.count()
+    dt = time.time() - t0
+    results["media_rows_out"] = n_media
+    results["media_pipeline_sec"] = round(dt, 3)
+    results["media_rows_per_sec"] = round(999 / dt, 1)
 
     headline = results["build_index_sec"] + results["query_total_sec"]
     ray.shutdown()

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -100,11 +101,13 @@ def token_count(sf_dir: str):
     """Whitespace token count per document (vectorized pandas str.split)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def count(b: pd.DataFrame) -> pd.DataFrame:
-        n = b["text"].str.strip().str.split().str.len().astype("int64")
-        return pd.DataFrame({"doc_id": b["doc_id"], "n_tokens": n})
+    def count(b: pa.Table) -> pa.Table:
+        from .textstats import _tokens_per_doc
+        _, n = _tokens_per_doc(b.column("text"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
 
-    return ds.map_batches(count, batch_format="pandas")
+    return ds.map_batches(count, batch_format="pyarrow")
 
 
 SQL["token_count"] = f"""
@@ -124,11 +127,12 @@ def token_count_bpe(sf_dir: str):
     punctuation marks over the lowercased text (vectorized str.count)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def count(b: pd.DataFrame) -> pd.DataFrame:
-        n = b["text"].str.count(_BPE_RE).astype("int64")
-        return pd.DataFrame({"doc_id": b["doc_id"], "n_tokens_bpe": n})
+    def count(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b.column("text"), _BPE_RE)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens_bpe": n.cast(pa.int64())})
 
-    return ds.map_batches(count, batch_format="pandas")
+    return ds.map_batches(count, batch_format="pyarrow")
 
 
 SQL["token_count_bpe"] = rf"""
@@ -150,24 +154,27 @@ SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
-def _term_partials(b: pd.DataFrame) -> pd.DataFrame:
+def _term_partials(b: pa.Table) -> pa.Table:
     """Per-batch partial (term, partial_df, partial_cf) — the combiner that
-    keeps the term shuffle small.  Vectorized: cf via value_counts over the
-    flattened token array, df via (row, token) drop_duplicates."""
-    toks = b["text"].str.lower().str.split()
-    lens = toks.str.len().to_numpy(dtype=np.int64) if len(toks) else \
-        np.empty(0, np.int64)
-    flat = (np.concatenate(toks.values) if len(toks) and lens.sum()
-            else np.array([], dtype=object))
-    cf = pd.Series(flat, dtype=object).value_counts()
-    rows = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
-    df = (pd.DataFrame({"r": rows, "t": flat}).drop_duplicates()["t"]
-          .value_counts())
-    return pd.DataFrame({
-        "term": pd.Series(cf.index, dtype=object),
-        "partial_df": df.reindex(cf.index).to_numpy(dtype=np.int64,
-                                                    na_value=0),
-        "partial_cf": cf.to_numpy(dtype=np.int64),
+    keeps the term shuffle small. Arrow-native: cf via value_counts over
+    the flat token stream, df via a distinct-(doc, token) group_by."""
+    from .textstats import _tokens_per_doc
+    flat, n_tok = _tokens_per_doc(b.column("text"))
+    vc = pc.value_counts(flat)
+    terms = vc.field("values")
+    cf = vc.field("counts").cast(pa.int64())
+    doc_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+    uniq = pa.table({"t": flat, "r": pa.array(doc_of)}).group_by(
+        ["t", "r"]).aggregate([])
+    dfc = uniq.group_by("t").aggregate([("r", "count")])
+    idx = pc.index_in(dfc.column("t"), value_set=terms).to_numpy(
+        zero_copy_only=False)
+    df = np.zeros(len(terms), dtype=np.int64)
+    df[idx] = dfc.column("r_count").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "term": terms,
+        "partial_df": pa.array(df, pa.int64()),
+        "partial_cf": cf,
     })
 
 
@@ -175,7 +182,7 @@ def term_stats(sf_dir: str):
     """Document frequency + collection frequency per whitespace token
     (the A2/A3 aggregates of the reference, precomputed at build time)."""
     ds = read_table(sf_dir, "documents", columns=["text"])
-    partials = ds.map_batches(_term_partials, batch_format="pandas")
+    partials = ds.map_batches(_term_partials, batch_format="pyarrow")
     return partials.groupby("term").aggregate(
         Sum("partial_df", alias_name="df"),
         Sum("partial_cf", alias_name="cf"))
@@ -219,18 +226,28 @@ def stopword_stats(sf_dir: str):
     is exact): token count, stopword count, char count of tokens."""
     stop = STOPWORDS
 
-    def feats(b: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": b["doc_id"], "n_tokens": [], "n_stop": [],
-                "n_token_chars": []}
-        for text in b["text"]:
-            toks = text.lower().split()
-            rows["n_tokens"].append(len(toks))
-            rows["n_stop"].append(sum(1 for t in toks if t in stop))
-            rows["n_token_chars"].append(sum(len(t) for t in toks))
-        return pd.DataFrame(rows)
+    stop_set = pa.array(sorted(stop))
+
+    def feats(b: pa.Table) -> pa.Table:
+        from .textstats import _tokens_per_doc
+        flat, n_tok = _tokens_per_doc(b.column("text"))
+        n = len(b)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+        hits = pc.is_in(flat, value_set=stop_set).to_numpy(
+            zero_copy_only=False)
+        n_stop = np.bincount(doc_of[hits], minlength=n)
+        chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        n_chars = np.bincount(doc_of, weights=chars,
+                              minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_stop": pa.array(n_stop.astype(np.int64)),
+            "n_token_chars": pa.array(n_chars),
+        })
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(feats, batch_format="pandas")
+    return ds.map_batches(feats, batch_format="pyarrow")
 
 
 _STOPLIST = "(" + ",".join(f"'{w}'" for w in sorted(STOPWORDS)) + ")"

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Count  # noqa: F401
 
@@ -55,14 +56,15 @@ def link_indegree(sf_dir: str, k: int = 50):
     Deterministic tie-break on dst."""
     edges = link_edges(sf_dir)
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("dst", as_index=False).size()
-        return g.rename(columns={"size": "n"})
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column("dst").combine_chunks())
+        return pa.table({"dst": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
 
     from ray.data.aggregate import Sum
 
     counts = (edges.select_columns(["dst"])
-              .map_batches(partial, batch_format="pandas")
+              .map_batches(partial, batch_format="pyarrow")
               .groupby("dst").aggregate(Sum("n", alias_name="in_degree")))
     top = (counts.sort(["in_degree", "dst"], descending=[True, False])
            .limit(k).to_pandas())

@@ -23,6 +23,17 @@ def _cents(x: np.ndarray) -> np.ndarray:
     and numpy (both IEEE doubles)."""
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
+def _gsum(t: pa.Table, keys: list[str], cols: list[str]) -> pa.Table:
+    """Arrow-native per-batch combiner: group_by + integer sums, output
+    columns renamed back to their pre-aggregation names."""
+    g = t.group_by(keys).aggregate([(c, "sum") for c in cols])
+    return g.select(keys + [f"{c}_sum" for c in cols]).rename_columns(
+        keys + cols)
+
+
+_Q1_CUTOFF = pa.scalar(np.datetime64("1998-09-02", "us"),
+                       pa.timestamp("us"))
+
 
 # ---------------------------------------------------------------------------
 def q1_pricing_summary(sf_dir: str):
@@ -32,32 +43,25 @@ def q1_pricing_summary(sf_dir: str):
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
                              "l_extendedprice", "l_discount", "l_shipdate"])
 
-    cutoff = pd.Timestamp("1998-09-02")
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_shipdate"] <= cutoff]
-        if not len(b):
-            return pd.DataFrame({
-                "l_returnflag": pd.Series([], dtype=object),
-                "l_linestatus": pd.Series([], dtype=object),
-                "sum_qty": pd.Series([], dtype=np.int64),
-                "sum_base_cents": pd.Series([], dtype=np.int64),
-                "sum_disc_cents": pd.Series([], dtype=np.int64),
-                "n_rows": pd.Series([], dtype=np.int64)})
-        ep = b["l_extendedprice"].to_numpy()
-        disc = b["l_discount"].to_numpy()
-        g = pd.DataFrame({
-            "l_returnflag": b["l_returnflag"],
-            "l_linestatus": b["l_linestatus"],
-            "sum_qty": b["l_quantity"].to_numpy().astype(np.int64),
-            "sum_base_cents": _cents(ep),
-            "sum_disc_cents": _cents(ep * (1.0 - disc)),
-            "n_rows": np.ones(len(b), np.int64),
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_shipdate"), _Q1_CUTOFF))
+        ep = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "sum_qty": pa.array(qty.astype(np.int64), pa.int64()),
+            "sum_base_cents": pa.array(_cents(ep), pa.int64()),
+            "sum_disc_cents": pa.array(_cents(ep * (1.0 - disc)),
+                                       pa.int64()),
+            "n_rows": pa.array(np.ones(len(b), np.int64), pa.int64()),
         })
-        return (g.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-                 .sum())
+        return _gsum(t, ["l_returnflag", "l_linestatus"],
+                     ["sum_qty", "sum_base_cents", "sum_disc_cents",
+                      "n_rows"])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_cents", alias_name="sum_base_cents"),
@@ -84,24 +88,32 @@ def orders_by_segment(sf_dir: str):
     map_batches over orders — no shuffle join."""
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    keys = cust["c_custkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(keys)
+    seg_map_ref = ray.put((keys[order],
+                           cust["c_mktsegment"].to_numpy()[order]))
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     class JoinSegment:
         def __init__(self):
-            self.seg = ray.get(seg_map_ref)
+            # sorted key array + parallel values: the broadcast lookup
+            # is one vectorized searchsorted, no per-row dict probes
+            self.keys, self.segs = ray.get(seg_map_ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            seg = b["o_custkey"].map(self.seg)
-            g = pd.DataFrame({
-                "c_mktsegment": seg,
-                "n_orders": np.ones(len(b), np.int64),
-                "total_cents": _cents(b["o_totalprice"].to_numpy()),
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            seg = self.segs[np.searchsorted(self.keys, ck)]
+            t = pa.table({
+                "c_mktsegment": pa.array(seg, pa.string()),
+                "n_orders": pa.array(np.ones(len(b), np.int64)),
+                "total_cents": pa.array(_cents(
+                    b.column("o_totalprice").to_numpy(
+                        zero_copy_only=False))),
             })
-            return g.groupby("c_mktsegment", as_index=False).sum()
+            return _gsum(t, ["c_mktsegment"], ["n_orders", "total_cents"])
 
-    partials = ds.map_batches(JoinSegment, batch_format="pandas",
+    partials = ds.map_batches(JoinSegment, batch_format="pyarrow",
                               concurrency=2)
     return partials.groupby("c_mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"),
@@ -124,19 +136,22 @@ def events_tumbling_window(sf_dir: str):
     ds = read_table(sf_dir, "events",
                     columns=["ts", "event_type", "value"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        us = b["ts"].astype("int64").to_numpy()  # epoch µs
-        window_us = (us // 60_000_000) * 60_000_000
-        g = pd.DataFrame({
-            "event_type": b["event_type"],
-            "window_us": window_us,
-            "n_events": np.ones(len(b), np.int64),
-            "sum_value_micros": np.floor(
-                b["value"].to_numpy() * 1e6).astype(np.int64),
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)  # epoch µs
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "window_us": pa.array((us // 60_000_000) * 60_000_000,
+                                  pa.int64()),
+            "n_events": pa.array(np.ones(len(b), np.int64)),
+            "sum_value_micros": pa.array(np.floor(
+                b.column("value").to_numpy(zero_copy_only=False)
+                * 1e6).astype(np.int64)),
         })
-        return g.groupby(["event_type", "window_us"], as_index=False).sum()
+        return _gsum(t, ["event_type", "window_us"],
+                     ["n_events", "sum_value_micros"])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["event_type", "window_us"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_value_micros", alias_name="sum_value_micros"))
@@ -158,16 +173,19 @@ def orders_by_month(sf_dir: str):
     """Orders per calendar month: year/month extracted vectorized."""
     ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame({
-            "year": b["o_orderdate"].dt.year.astype("int64"),
-            "month": b["o_orderdate"].dt.month.astype("int64"),
-            "n_orders": np.ones(len(b), np.int64),
-            "total_cents": _cents(b["o_totalprice"].to_numpy()),
+    def partial(b: pa.Table) -> pa.Table:
+        dates = b.column("o_orderdate")
+        t = pa.table({
+            "year": pc.year(dates).cast(pa.int64()),
+            "month": pc.month(dates).cast(pa.int64()),
+            "n_orders": pa.array(np.ones(len(b), np.int64)),
+            "total_cents": pa.array(_cents(
+                b.column("o_totalprice").to_numpy(
+                    zero_copy_only=False))),
         })
-        return g.groupby(["year", "month"], as_index=False).sum()
+        return _gsum(t, ["year", "month"], ["n_orders", "total_cents"])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["year", "month"]).aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("total_cents", alias_name="total_cents"))
@@ -187,13 +205,15 @@ def top_parts_by_price(sf_dir: str, k: int = 20):
     """Global top-k by retail price (sort + limit; cents + key tiebreak)."""
     ds = read_table(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "p_partkey": b["p_partkey"].astype("int64"),
-            "price_cents": _cents(b["p_retailprice"].to_numpy()),
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": b.column("p_partkey").cast(pa.int64()),
+            "price_cents": pa.array(_cents(
+                b.column("p_retailprice").to_numpy(
+                    zero_copy_only=False))),
         })
 
-    top = (ds.map_batches(prep, batch_format="pandas")
+    top = (ds.map_batches(prep, batch_format="pyarrow")
            .sort(["price_cents", "p_partkey"], descending=[True, False])
            .limit(k).to_pandas())
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
@@ -217,20 +237,28 @@ def suppliers_per_region(sf_dir: str):
                         columns=["n_nationkey", "n_regionkey"]).to_pandas()
     region = read_table(sf_dir, "region",
                         columns=["r_regionkey", "r_name"]).to_pandas()
-    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    # pre-compose nation→region-name as sorted parallel arrays: the
+    # broadcast lookup is one searchsorted per batch
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    lookup_ref = ray.put((n2r, r2name))
+    nk = nation["n_nationkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(nk)
+    names = np.asarray([r2name[rk] for rk in
+                        nation["n_regionkey"].to_numpy()[order]],
+                       dtype=object)
+    lookup_ref = ray.put((nk[order], names))
 
     ds = read_table(sf_dir, "supplier", columns=["s_nationkey"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        n2r_, r2name_ = ray.get(lookup_ref)
-        names = b["s_nationkey"].map(lambda nk: r2name_[n2r_[nk]])
-        g = pd.DataFrame({"r_name": names,
-                          "n_suppliers": np.ones(len(b), np.int64)})
-        return g.groupby("r_name", as_index=False).sum()
+    def partial(b: pa.Table) -> pa.Table:
+        keys, names_ = ray.get(lookup_ref)
+        snk = b.column("s_nationkey").to_numpy(zero_copy_only=False)
+        rn = names_[np.searchsorted(keys, snk)]
+        t = pa.table({"r_name": pa.array(rn, pa.string()),
+                      "n_suppliers": pa.array(
+                          np.ones(len(b), np.int64))})
+        return _gsum(t, ["r_name"], ["n_suppliers"])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("r_name").aggregate(
         Sum("n_suppliers", alias_name="n_suppliers"))
 
@@ -273,23 +301,28 @@ def events_hopping_window(sf_dir: str, size_min: int = 5, hop_min: int = 1):
     hop_us = hop_min * 60_000_000
     n_hops = size_us // hop_us
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        us = b["ts"].astype("int64").to_numpy()
-        vmic = np.floor(b["value"].to_numpy() * 1e6).astype(np.int64)
-        et = b["event_type"].to_numpy()
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        vmic = np.floor(b.column("value").to_numpy(
+            zero_copy_only=False) * 1e6).astype(np.int64)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
         # window starts covering ts: last hop boundary ≤ ts, going back
         last = (us // hop_us) * hop_us
         starts = last[:, None] - np.arange(n_hops, dtype=np.int64) * hop_us
-        keep = us[:, None] < starts + size_us  # always true; kept explicit
-        g = pd.DataFrame({
-            "event_type": np.repeat(et, n_hops),
-            "window_us": starts.reshape(-1),
-            "n_events": np.ones(len(us) * n_hops, np.int64),
-            "sum_value_micros": np.repeat(vmic, n_hops),
-        })[keep.reshape(-1)]
-        return g.groupby(["event_type", "window_us"], as_index=False).sum()
+        keep = (us[:, None] < starts + size_us).reshape(-1)
+        t = pa.table({
+            "event_type": pa.array(np.repeat(et, n_hops)[keep],
+                                   pa.string()),
+            "window_us": pa.array(starts.reshape(-1)[keep], pa.int64()),
+            "n_events": pa.array(np.ones(int(keep.sum()), np.int64)),
+            "sum_value_micros": pa.array(np.repeat(vmic, n_hops)[keep],
+                                         pa.int64()),
+        })
+        return _gsum(t, ["event_type", "window_us"],
+                     ["n_events", "sum_value_micros"])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["event_type", "window_us"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_value_micros", alias_name="sum_value_micros"))

@@ -15,8 +15,8 @@ driver sees at most capacity+1 candidate rows — NOT capacity x n_batches
 as in the round-2 version.
 
 Per-batch summaries are themselves exact batch counts truncated to
-capacity (the tightest possible MG summary), computed with vectorized
-pandas ``value_counts`` — no per-token Python loop.
+capacity (the tightest possible MG summary), computed with one
+Arrow ``value_counts`` pass — no per-token Python loop.
 
 Exactness guard: if no truncation happened at any level the candidate
 set is the full vocabulary and the result is exact regardless of k.
@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data.aggregate import Sum
@@ -37,36 +38,43 @@ from ray.data.aggregate import Sum
 from ..pipelines.datasets import read_table
 
 
-def _mg_truncate(counts: pd.Series, capacity: int) -> tuple[pd.Series, bool]:
+def _mg_truncate(terms: np.ndarray, counts: np.ndarray, capacity: int
+                 ) -> tuple[np.ndarray, np.ndarray, bool]:
     """Truncate exact (or merged-MG) counts to an MG summary of at most
-    ``capacity`` counters.  Returns (summary, truncated?)."""
+    ``capacity`` counters. Returns (terms, counts, truncated?)."""
     if len(counts) <= capacity:
-        return counts, False
-    counts = counts.sort_values(ascending=False)
-    thresh = int(counts.iloc[capacity])
-    kept = (counts - thresh).iloc[:capacity]
-    return kept[kept > 0], True
+        return terms, counts, False
+    order = np.argsort(-counts, kind="stable")
+    thresh = int(counts[order[capacity]])
+    keep = order[:capacity]
+    kept = counts[keep] - thresh
+    m = kept > 0
+    return terms[keep][m], kept[m], True
 
 
-def _batch_summary(b: pd.DataFrame, capacity: int) -> pd.DataFrame:
-    toks = b["text"].str.strip().str.lower().str.split()
-    flat = np.concatenate(toks.values) if len(toks) else np.array([], object)
-    n_tok = int(flat.size)
-    counts = pd.Series(flat, dtype=object).value_counts()
-    mg, truncated = _mg_truncate(counts, capacity)
-    out = pd.DataFrame({
-        "term": mg.index.astype(object),
-        "c": mg.values.astype(np.int64),
-        "n_tok": np.zeros(len(mg), dtype=np.int64),
-        "trunc": np.zeros(len(mg), dtype=np.int64),
-    })
+def _batch_summary(b: pa.Table, capacity: int) -> pa.Table:
+    from .textstats import _tokens_per_doc
+    flat, _ = _tokens_per_doc(b.column("text"))
+    n_tok = len(flat)
+    vc = pc.value_counts(flat)
+    terms = vc.field("values").to_numpy(zero_copy_only=False)
+    counts = vc.field("counts").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    terms, cs, truncated = _mg_truncate(terms, counts, capacity)
     # Sentinel row carries the batch token count and truncation flag
     # independently of the summary size (an empty summary still counts).
-    sentinel = pd.DataFrame({
-        "term": pd.Series([""], dtype=object), "c": [np.int64(0)],
-        "n_tok": [np.int64(n_tok)], "trunc": [np.int64(truncated)],
+    return pa.table({
+        "term": pa.array(np.concatenate(
+            [terms, np.array([""], object)]), pa.string()),
+        "c": pa.array(np.concatenate(
+            [cs, np.zeros(1, np.int64)]), pa.int64()),
+        "n_tok": pa.array(np.concatenate(
+            [np.zeros(len(cs), np.int64),
+             np.array([n_tok], np.int64)]), pa.int64()),
+        "trunc": pa.array(np.concatenate(
+            [np.zeros(len(cs), np.int64),
+             np.array([int(truncated)], np.int64)]), pa.int64()),
     })
-    return pd.concat([out, sentinel], ignore_index=True)
 
 
 def top_terms(sf_dir: str, k: int = 25, capacity: int = 512):
@@ -75,7 +83,7 @@ def top_terms(sf_dir: str, k: int = 25, capacity: int = 512):
     docs = read_table(sf_dir, "documents", columns=["text"])
 
     parts = docs.map_batches(
-        lambda b: _batch_summary(b, capacity), batch_format="pandas",
+        lambda b: _batch_summary(b, capacity), batch_format="pyarrow",
     ).materialize()
 
     total_n = int(parts.sum("n_tok") or 0)
@@ -94,19 +102,16 @@ def top_terms(sf_dir: str, k: int = 25, capacity: int = 512):
     candidates = frozenset(merged["term"])
     cand_ref = ray.put(candidates)
 
-    def recount(b: pd.DataFrame) -> pd.DataFrame:
-        cand = ray.get(cand_ref)
-        toks = b["text"].str.strip().str.lower().str.split()
-        flat = np.concatenate(toks.values) if len(toks) else np.array([], object)
-        s = pd.Series(flat, dtype=object)
-        s = s[s.isin(cand)]
-        c = s.value_counts()
-        return pd.DataFrame({
-            "term": c.index.astype(object),
-            "n": c.values.astype(np.int64),
-        })
+    def recount(b: pa.Table) -> pa.Table:
+        cand = pa.array(sorted(ray.get(cand_ref)))
+        from .textstats import _tokens_per_doc
+        flat, _ = _tokens_per_doc(b.column("text"))
+        flat = flat.filter(pc.is_in(flat, value_set=cand))
+        vc = pc.value_counts(flat)
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
 
-    counts = (docs.map_batches(recount, batch_format="pandas")
+    counts = (docs.map_batches(recount, batch_format="pyarrow")
               .groupby("term").aggregate(Sum("n", alias_name="n"))
               .to_pandas())
     counts = counts.sort_values(["n", "term"],

@@ -74,8 +74,8 @@ def lang_id(sf_dir: str):
     counts — no per-doc Python. Oracle-checkable (SQL_LANG_ID)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        texts = pa.array(b["text"], pa.string())
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b.column("text").combine_chunks()
         n = len(texts)
         flat, counts = _tokens_per_doc(texts)
         doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
@@ -95,10 +95,10 @@ def lang_id(sf_dir: str):
         langs = np.asarray(_LANG_ORDER, dtype=object)[best]
         langs[~has_any] = "und"
         langs[cjk] = "zh"
-        return pd.DataFrame({"doc_id": b["doc_id"],
-                             "lang_pred": langs})
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang_pred": pa.array(langs, pa.string())})
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _markers_sql(lang: str) -> str:
@@ -148,8 +148,8 @@ def quality_score(sf_dir: str):
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        texts = pa.array(b["text"], pa.string())
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b.column("text").combine_chunks()
         npa = len(texts)
         flat, n = _tokens_per_doc(texts)
         doc_of = np.repeat(np.arange(npa, dtype=np.int64), n)
@@ -168,10 +168,10 @@ def quality_score(sf_dir: str):
               + 3000 * n_alpha // nc
               + 1000 - np.minimum(10000 * n_punct // nc, 1000))
         bp[n == 0] = 0
-        return pd.DataFrame({"doc_id": b["doc_id"],
-                             "quality_bp": bp.astype(np.int64)})
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "quality_bp": pa.array(bp.astype(np.int64))})
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 _STOPS_SQL = "[" + ",".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
@@ -229,17 +229,17 @@ def fingerprints(sf_dir: str):
     integers so results hash exactly)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        vu, cu = _winnow_batch(pa.array(b["text"], pa.string()))
+    def fn(b: pa.Table) -> pa.Table:
+        vu, cu = _winnow_batch(b.column("text").combine_chunks())
         bounds = np.concatenate(([0], np.cumsum(cu)))[:-1]
         fold = np.bitwise_xor.reduceat(vu, bounds)  # every cu ≥ 1
-        return pd.DataFrame({
-            "doc_id": b["doc_id"],
-            "n_fingerprints": cu.astype(np.int64),
-            "fp_fold": (fold >> np.uint64(1)).astype(np.int64),
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_fingerprints": pa.array(cu.astype(np.int64)),
+            "fp_fold": pa.array((fold >> np.uint64(1)).astype(np.int64)),
         })
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -283,25 +283,26 @@ def gopher_quality(sf_dir: str):
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        rows = [_gopher_row(t) for t in b["text"]]
+    def fn(b: pa.Table) -> pa.Table:
+        rows = [_gopher_row(t) for t in
+                b.column("text").to_pylist()]
         arr = np.asarray(rows, dtype=np.int64).reshape(len(rows), 6)
         ok = ((arr[:, 0] >= 50) & (arr[:, 0] <= 100000)
               & (arr[:, 1] >= 300) & (arr[:, 1] <= 1000)
               & (arr[:, 3] <= 1000) & (arr[:, 2] >= 2)
               & (arr[:, 4] <= 3000) & (arr[:, 5] <= 2000))
-        return pd.DataFrame({
-            "doc_id": b["doc_id"].astype("int64"),
-            "n_words": arr[:, 0],
-            "mean_word_len_x100": arr[:, 1],
-            "stopword_hits": arr[:, 2],
-            "symbol_bp": arr[:, 3],
-            "dup_line_bp": arr[:, 4],
-            "top_bigram_bp": arr[:, 5],
-            "pass_gopher": ok.astype(np.int64),
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "n_words": pa.array(arr[:, 0]),
+            "mean_word_len_x100": pa.array(arr[:, 1]),
+            "stopword_hits": pa.array(arr[:, 2]),
+            "symbol_bp": pa.array(arr[:, 3]),
+            "dup_line_bp": pa.array(arr[:, 4]),
+            "top_bigram_bp": pa.array(arr[:, 5]),
+            "pass_gopher": pa.array(ok.astype(np.int64)),
         })
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 _GOPHER_STOPS_SQL = "[" + ",".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
