@@ -327,72 +327,119 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
 # decoder
 # ---------------------------------------------------------------------------
 
-class _BitReader:
-    """MSB-first reader over entropy data with 0xFF00 unstuffing; stops
-    at any non-RST marker."""
+def _unstuff(data: bytes, pos: int) -> list[bytes]:
+    """Entropy segments from ``pos``: 0xFF00 unstuffed, split at RST
+    markers (one segment per restart interval), stopping at the first
+    real marker. One numpy pass locates the (rare) 0xFF bytes; only
+    those positions loop in Python."""
+    arr = np.frombuffer(data, dtype=np.uint8, offset=pos)
+    ffs = np.flatnonzero(arr == 0xFF)
+    segs: list[bytes] = []
+    parts: list[bytes] = []
+    start = 0
+    for f in ffs.tolist():
+        if f < start:
+            continue  # the 0x00 of a previous stuffed pair
+        nxt = arr[f + 1] if f + 1 < len(arr) else 0xD9
+        if nxt == 0x00:  # stuffed 0xFF data byte
+            parts.append(arr[start:f + 1].tobytes())
+            start = f + 2
+        elif 0xD0 <= nxt <= 0xD7:  # RST: close the segment
+            parts.append(arr[start:f].tobytes())
+            segs.append(b"".join(parts))
+            parts = []
+            start = f + 2
+        else:  # real marker: end of entropy data
+            parts.append(arr[start:f].tobytes())
+            segs.append(b"".join(parts))
+            return segs
+    parts.append(arr[start:].tobytes())
+    segs.append(b"".join(parts))
+    return segs
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+
+class _FastBits:
+    """MSB-first reader over pre-unstuffed entropy segments. peek16 +
+    skip(n) enable the one-lookup Huffman fast path; past-the-end reads
+    pad with zero bits (spec fill). ``resync`` jumps to the next RST
+    segment."""
+
+    __slots__ = ("segs", "si", "buf", "i", "acc", "n")
+
+    def __init__(self, segs: list[bytes]):
+        self.segs = segs
+        self.si = 0
+        self.buf = segs[0] if segs else b""
+        self.i = 0
         self.acc = 0
         self.n = 0
 
-    def _fill(self) -> bool:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RST: resync at byte boundary
-                self.pos += 2
-                self.acc = 0
-                self.n = 0
-                return self._fill()
-            else:
-                return False  # real marker: no more entropy bits
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
-        return True
+    def resync(self) -> None:
+        self.si += 1
+        self.buf = (self.segs[self.si]
+                    if self.si < len(self.segs) else b"")
+        self.i = 0
+        self.acc = 0
+        self.n = 0
 
-    def read_bit(self) -> int:
-        if self.n == 0 and not self._fill():
-            return 0  # pad bits past the end (spec: fill with 1s/0s)
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def peek16(self) -> int:
+        acc, n, i, buf = self.acc, self.n, self.i, self.buf
+        while n < 16:
+            acc = (acc << 8) | (buf[i] if i < len(buf) else 0)
+            if i < len(buf):
+                i += 1
+            n += 8
+        self.acc, self.n, self.i = acc, n, i
+        return (acc >> (n - 16)) & 0xFFFF
 
-    def receive(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.read_bit()
-        return v
+    def skip(self, k: int) -> None:
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+
+    def take(self, k: int) -> int:
+        if k == 0:
+            return 0
+        acc, n, i, buf = self.acc, self.n, self.i, self.buf
+        while n < k:
+            acc = (acc << 8) | (buf[i] if i < len(buf) else 0)
+            if i < len(buf):
+                i += 1
+            n += 8
+        n -= k
+        self.acc = acc & ((1 << n) - 1)
+        self.n, self.i = n, i
+        return (acc >> n) & ((1 << k) - 1)
 
 
-def _build_dec_table(bits, values):
-    """length → {code: symbol} nested lookup."""
-    table: dict[int, dict[int, int]] = {}
+_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _dec_lut(bits, values) -> tuple[list[int], list[int]]:
+    """16-bit-lookahead Huffman LUT: every 16-bit window maps to
+    (symbol, code length) in one list index — the classic libjpeg fast
+    path. Built once per distinct table (cached: the four standard
+    Annex-K tables cover every image this repo synthesizes)."""
+    key = (bytes(bits), bytes(values))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(65536, dtype=np.int32)
+    ln_arr = np.zeros(65536, dtype=np.int32)  # 0 = invalid code
     code = 0
     vi = 0
     for ln in range(1, 17):
-        if bits[ln - 1]:
-            table[ln] = {}
-            for _ in range(bits[ln - 1]):
-                table[ln][code] = values[vi]
-                code += 1
-                vi += 1
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            hi = lo + (1 << (16 - ln))
+            sym[lo:hi] = values[vi]
+            ln_arr[lo:hi] = ln
+            code += 1
+            vi += 1
         code <<= 1
-    return table
-
-
-def _huff_decode(br: _BitReader, table) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sub = table.get(ln)
-        if sub is not None and code in sub:
-            return sub[code]
-    raise ValueError("bad Huffman code")
+    out = (sym.tolist(), ln_arr.tolist())
+    if len(_LUT_CACHE) < 64:
+        _LUT_CACHE[key] = out
+    return out
 
 
 def _extend(v: int, size: int) -> int:
@@ -447,8 +494,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 bits = list(body[bpos + 1: bpos + 17])
                 nv = sum(bits)
                 values = list(body[bpos + 17: bpos + 17 + nv])
-                htabs[(tc_th >> 4, tc_th & 15)] = _build_dec_table(
-                    bits, values)
+                htabs[(tc_th >> 4, tc_th & 15)] = _dec_lut(bits, values)
                 bpos += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -494,28 +540,41 @@ def _decode_scan(payload, pos, scan, qtabs, htabs, h, w,
         pw = mcus_x * c["h"] * 8
         ph = mcus_y * c["v"] * 8
         planes.append(np.zeros((ph, pw), dtype=np.float64))
-    br = _BitReader(payload, pos)
+    br = _FastBits(_unstuff(payload, pos))
     prev_dc = [0] * len(scan)
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count \
                     and mcu_count % restart_interval == 0:
-                br.acc = 0
-                br.n = 0  # RST resync handled by the reader
+                br.resync()
                 prev_dc = [0] * len(scan)  # spec: DC predictors reset
             mcu_count += 1
             for si, (c, td, ta) in enumerate(scan):
+                dc_sym, dc_len = htabs[(0, td)]
+                ac_sym, ac_len = htabs[(1, ta)]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
+                        # one-lookup Huffman: peek 16 bits, LUT gives
+                        # (symbol, code length) — no per-bit loop
                         zz = np.zeros(64, dtype=np.int32)
-                        s = _huff_decode(br, htabs[(0, td)])
-                        diff = _extend(br.receive(s), s)
+                        p = br.peek16()
+                        s = dc_sym[p]
+                        cl = dc_len[p]
+                        if cl == 0:
+                            raise ValueError("bad Huffman code")
+                        br.skip(cl)
+                        diff = _extend(br.take(s), s)
                         prev_dc[si] += diff
                         zz[0] = prev_dc[si]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(br, htabs[(1, ta)])
+                            p = br.peek16()
+                            rs = ac_sym[p]
+                            cl = ac_len[p]
+                            if cl == 0:
+                                raise ValueError("bad Huffman code")
+                            br.skip(cl)
                             r, s = rs >> 4, rs & 15
                             if s == 0:
                                 if r == 15:
@@ -525,7 +584,7 @@ def _decode_scan(payload, pos, scan, qtabs, htabs, h, w,
                             k += r
                             if k > 63:
                                 raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.receive(s), s)
+                            zz[k] = _extend(br.take(s), s)
                             k += 1
                         blk = (zz[UNZIGZAG].reshape(8, 8)
                                * qtabs[c["tq"]]).astype(np.float64)

@@ -724,7 +724,10 @@ def media_pipeline(n: int | None = None, sf_dir: str | None = None,
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 4))
         concurrency = max(2, min(12, cpus // 3))
-    media = synth_media_dataset(n)
+    # materialize once: the three stages fork from the same blocks
+    # (object-store-resident, distributed) instead of re-synthesizing
+    # the corpus per consumer
+    media = synth_media_dataset(n).materialize()
     images = media.map_batches(ImageDecodeResize, batch_format="pyarrow",
                                batch_size=8, concurrency=concurrency)
     audio = media.map_batches(AudioFrameSample, batch_format="pyarrow",
