@@ -284,9 +284,61 @@ def gopher_quality(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(b: pa.Table) -> pa.Table:
-        rows = [_gopher_row(t) for t in
-                b.column("text").to_pylist()]
-        arr = np.asarray(rows, dtype=np.int64).reshape(len(rows), 6)
+        # fully vectorized twin of _gopher_row (pinned equal by
+        # tests/test_dedup.py::test_gopher_vectorized_matches_scalar):
+        # one tokenize pass, arrow kernels for symbols/lines/bigrams,
+        # distinct counts via arrow group_by — no per-doc Python
+        texts = b.column("text").combine_chunks()
+        n_docs = len(texts)
+        flat, n_tok = _tokens_per_doc(texts)
+        n_words = np.maximum(n_tok, 1)  # empty doc → [''] in the oracle
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
+        wchars = np.bincount(
+            doc_of, weights=pc.utf8_length(flat).to_numpy(
+                zero_copy_only=False), minlength=n_docs).astype(np.int64)
+        stop_set = pa.array(sorted(_GOPHER_STOPSET))
+        sh = pc.is_in(flat, value_set=stop_set).to_numpy(
+            zero_copy_only=False)
+        stop_hits = np.bincount(doc_of[sh], minlength=n_docs).astype(
+            np.int64)
+        n_sym = (pc.count_substring(texts, "#").to_numpy(
+                     zero_copy_only=False).astype(np.int64)
+                 + pc.count_substring(texts, "...").to_numpy(
+                     zero_copy_only=False).astype(np.int64))
+        # duplicate-line fraction: distinct (doc, line) via group_by
+        line_lists = pc.split_pattern(texts, "\n")
+        n_lines = pc.list_value_length(line_lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ldoc = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+        uniq = pa.table({"d": pa.array(ldoc),
+                         "l": pc.list_flatten(line_lists)}).group_by(
+            ["d", "l"]).aggregate([])
+        vc = pc.value_counts(uniq.column("d").combine_chunks())
+        n_uniq = np.zeros(n_docs, dtype=np.int64)
+        n_uniq[vc.field("values").to_numpy(zero_copy_only=False)] = \
+            vc.field("counts").to_numpy(zero_copy_only=False)
+        dup_line_bp = (n_lines - n_uniq) * 10000 // n_lines
+        # top-bigram fraction: adjacent-token pairs within each doc,
+        # max multiplicity via group_by count
+        top = np.zeros(n_docs, dtype=np.int64)
+        n_bg = np.maximum(n_tok - 1, 0)
+        if len(flat) > 1:
+            within = doc_of[:-1] == doc_of[1:]
+            if within.any():
+                bg = pc.binary_join_element_wise(
+                    flat.slice(0, len(flat) - 1),
+                    flat.slice(1), " ").filter(pa.array(within))
+                bdoc = doc_of[:-1][within]
+                cnt = pa.table({"d": pa.array(bdoc), "g": bg}).group_by(
+                    ["d", "g"]).aggregate([("g", "count")])
+                cd = cnt.column("d").to_numpy(zero_copy_only=False)
+                cc = cnt.column("g_count").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                np.maximum.at(top, cd, cc)
+        top_bigram_bp = top * 10000 // np.maximum(n_bg, 1)
+        arr = np.stack([n_words, 100 * wchars // n_words, stop_hits,
+                        10000 * n_sym // n_words, dup_line_bp,
+                        top_bigram_bp], axis=1)
         ok = ((arr[:, 0] >= 50) & (arr[:, 0] <= 100000)
               & (arr[:, 1] >= 300) & (arr[:, 1] <= 1000)
               & (arr[:, 3] <= 1000) & (arr[:, 2] >= 2)

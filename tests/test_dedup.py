@@ -482,3 +482,46 @@ def test_unigram_surprisal_distributed_path(ray_session):
     ora = con.execute(SQL_UNIGRAM_SURPRISAL).fetchdf()
     assert dist[["doc_id", "surprisal_milli", "n_tokens"]].equals(
         ora[["doc_id", "surprisal_milli", "n_tokens"]].astype("int64"))
+
+
+def test_gopher_vectorized_matches_scalar(ray_session):
+    """The vectorized gopher_quality batch twin must agree with the
+    scalar _gopher_row on every sf doc plus crafted edge cases (empty
+    text, duplicate lines, repeated bigrams, symbol runs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_ray.functions.textstats import (_gopher_row,
+                                                       gopher_quality)
+
+    edge = [
+        "", "   ", "a", "x y x y x y x y", "line\nline\nline",
+        "# ## ### .... ...", "the and of to in is that for with was",
+        "word " * 60, "a\nb\na\nb\nc", "solo\n\n\nsolo",
+    ]
+    out = gopher_quality("/root/testdata/sf0.001").to_pandas()
+    import duckdb
+    con = duckdb.connect()
+    docs = con.sql("SELECT doc_id, text FROM "
+                   "'/root/testdata/sf0.001/documents.parquet' "
+                   "ORDER BY doc_id").df()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    cols = ["n_words", "mean_word_len_x100", "stopword_hits",
+            "symbol_bp", "dup_line_bp", "top_bigram_bp"]
+    for i, text in enumerate(docs["text"]):
+        assert tuple(out.loc[i, cols]) == _gopher_row(text), i
+
+    # edge cases through the raw batch fn (via a tiny in-memory table)
+    import ray.data as rd
+
+    from search_engine_ray.functions import textstats as ts
+    tbl = pa.table({"doc_id": pa.array(range(len(edge)), pa.int64()),
+                    "text": pa.array(edge, pa.string())})
+    import tempfile, os
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+        got = ts.gopher_quality(d).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+    for i, text in enumerate(edge):
+        assert tuple(got.loc[i, cols]) == _gopher_row(text), repr(text)
