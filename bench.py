@@ -215,6 +215,22 @@ def run_bench() -> dict:
     results["query_batch_qps"] = round(max(bqps_runs), 1)
     eng.close()
 
+    if os.environ.get("GRAFT_BENCH_FAST"):
+        # scaling-pair mode: the efficiency criterion needs only the
+        # headline build + serving numbers; skip the bigshard skip-path
+        # microbenches, aux operators and media line (hours at 2 cpus)
+        headline = results["build_index_sec"] + results["query_total_sec"]
+        ray.shutdown()
+        return {
+            "metric": "index_build_plus_query_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": results,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "bench_pages": n_docs,
+        }
+
     # block-max WAND vs exhaustive on a big-shard index (the scale path:
     # at 100 TB a shard holds millions of docs; 64k-doc shards here make
     # posting lists long enough that skipping can bite). Index cached
