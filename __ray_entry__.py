@@ -78,6 +78,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # assignment (hash-min connected components over near-dup pairs)
         "decontaminate": _decontaminate,
         "dedup_clusters": _dedup_clusters,
+        # the composed end-to-end data-prep pipeline (quality filter ∧
+        # exact-dedup rep ∧ decontaminated → token counts), one
+        # doc-keyed merge shuffle; stage CTEs composed in the oracle
+        "corpus_prep": _corpus_prep,
         # relational / streaming-shaped
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_by_segment": relational.orders_by_segment,
@@ -122,6 +126,12 @@ def _dedup_clusters(sf_dir: str) -> Any:
     from search_engine_ray.functions.hygiene import dedup_clusters
 
     return dedup_clusters(sf_dir)
+
+
+def _corpus_prep(sf_dir: str) -> Any:
+    from search_engine_ray.functions.hygiene import corpus_prep
+
+    return corpus_prep(sf_dir)
 
 
 def _sessionize(sf_dir: str) -> Any:
@@ -283,6 +293,8 @@ LIMIT 50
     # a recursive reachability closure over the verified pair list
     out["decontaminate"] = sql_hash.decontaminate_sql()
     out["dedup_clusters"] = sql_hash.dedup_clusters_sql()
+    from search_engine_ray.functions.hygiene import corpus_prep_sql
+    out["corpus_prep"] = corpus_prep_sql()
     # embedding near-dup: literal seeded hyperplanes + list-op cosine
     out["embedding_neardup"] = sql_hash.embedding_neardup_sql(
         n_planes=4, threshold_bp=2500)

@@ -225,3 +225,101 @@ def dedup_clusters(sf_dir: str, threshold_bp: int = 7000,
     nodes = read_table(sf_dir, "documents", columns=["doc_id"])
     return connected_components(pairs, nodes,
                                 num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+def corpus_prep(sf_dir: str, min_quality_bp: int = 4500, k: int = 5,
+                holdout_mod: int = 97):
+    """End-to-end pretraining-corpus prep — the composed pipeline a
+    100-TB data-prep user actually runs: quality filter (integer-bp
+    composite) ∧ exact-dedup representative (min doc_id per text) ∧
+    benchmark decontamination (no k-gram overlap with the held-out
+    subset), emitting (doc_id, n_tokens, quality_bp) for the kept docs.
+
+    Composition is one tagged UNION of the four stage outputs (each a
+    (doc_id, value) stream) merged by a single groupby(doc_id) — the
+    doc-keyed hash shuffle is the only exchange; no stage materializes
+    on the driver, so the composition scales exactly as its parts do.
+    DuckDB twin composes the same stage CTEs (hash-exact)."""
+    import pyarrow.compute as pc
+
+    from .docops import dedup_exact, token_count
+    from .textstats import quality_score
+
+    q = quality_score(sf_dir).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "quality_bp": b.column("quality_bp").cast(pa.int64()),
+            "is_rep": pa.nulls(len(b), pa.int64()),
+            "contaminated": pa.nulls(len(b), pa.int64()),
+            "n_tokens": pa.nulls(len(b), pa.int64()),
+        }), batch_format="pyarrow")
+    r = dedup_exact(sf_dir).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "quality_bp": pa.nulls(len(b), pa.int64()),
+            "is_rep": pa.array(np.ones(len(b), np.int64)),
+            "contaminated": pa.nulls(len(b), pa.int64()),
+            "n_tokens": pa.nulls(len(b), pa.int64()),
+        }), batch_format="pyarrow")
+    c = decontaminate(sf_dir, k=k, holdout_mod=holdout_mod).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "quality_bp": pa.nulls(len(b), pa.int64()),
+            "is_rep": pa.nulls(len(b), pa.int64()),
+            "contaminated": b.column("contaminated").cast(pa.int64()),
+            "n_tokens": pa.nulls(len(b), pa.int64()),
+        }), batch_format="pyarrow")
+    t = token_count(sf_dir).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "quality_bp": pa.nulls(len(b), pa.int64()),
+            "is_rep": pa.nulls(len(b), pa.int64()),
+            "contaminated": pa.nulls(len(b), pa.int64()),
+            "n_tokens": b.column("n_tokens").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        def val(col: str):
+            arr = g.column(col)
+            m = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            if not m.any():
+                return None
+            return int(pc.fill_null(arr, 0).to_numpy(
+                zero_copy_only=False)[m][0])
+
+        qv = val("quality_bp")
+        keep = (val("is_rep") == 1
+                and val("contaminated") == 0
+                and qv is not None and qv >= min_quality_bp)
+        if not keep:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "quality_bp": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": g.column("doc_id")[:1].cast(pa.int64()),
+            "n_tokens": pa.array([val("n_tokens") or 0], pa.int64()),
+            "quality_bp": pa.array([qv], pa.int64()),
+        })
+
+    return (q.union(r).union(c).union(t)
+             .groupby("doc_id")
+             .map_groups(merge, batch_format="pyarrow"))
+
+
+def corpus_prep_sql(min_quality_bp: int = 4500) -> str:
+    """DuckDB twin of corpus_prep: the same stage CTEs composed."""
+    from . import sql_hash
+    from .docops import SQL as DOC_SQL
+    from .textstats import SQL_QUALITY_SCORE
+
+    return f"""
+WITH q AS ({SQL_QUALITY_SCORE}),
+r AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+c AS ({sql_hash.decontaminate_sql()}),
+t AS ({DOC_SQL["token_count"]})
+SELECT q.doc_id, t.n_tokens, q.quality_bp
+FROM q JOIN r USING (doc_id) JOIN c USING (doc_id) JOIN t USING (doc_id)
+WHERE q.quality_bp >= {min_quality_bp} AND c.contaminated = 0
+ORDER BY q.doc_id
+"""
