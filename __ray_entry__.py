@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (functions/sql_bm25.py): synthesis → parse → stem → dl/avgdl →
         # Lucene idf → float64 score fold → (-score, doc_id) top-k
         "search_bm25_words": _search_bm25_words,
+        # phrase-bearing flagship plans: positions restated in SQL as
+        # sliding-window scans over the per-doc kept-stem lists
+        "search_bm25_phrases": _search_bm25_phrases,
         # reference-exact compat ranking, distributed per chunk
         "search_compat": _search_compat,
     }
@@ -177,6 +180,13 @@ def _search_bm25_words(sf_dir: str) -> Any:
     from search_engine_ray.pipelines.flagship import run_word_queries
 
     return run_word_queries(sf_dir)
+
+
+def _search_bm25_phrases(sf_dir: str) -> Any:
+    from search_engine_ray.functions.sql_bm25 import BM25_PHRASE_QUERIES
+    from search_engine_ray.pipelines.flagship import run_word_queries
+
+    return run_word_queries(sf_dir, queries=BM25_PHRASE_QUERIES)
 
 
 def _media_images(sf_dir: str) -> Any:
@@ -308,6 +318,8 @@ LIMIT 50
     # the flagship itself (word-only plans, synonyms off): full BM25
     # restated over the synthesized pages — generated FROM the compiled
     # plan trees so the score fold order matches bit-for-bit (r5)
-    from search_engine_ray.functions.sql_bm25 import bm25_words_sql
+    from search_engine_ray.functions.sql_bm25 import (BM25_PHRASE_QUERIES,
+                                                      bm25_words_sql)
     out["search_bm25_words"] = bm25_words_sql()
+    out["search_bm25_phrases"] = bm25_words_sql(BM25_PHRASE_QUERIES)
     return out

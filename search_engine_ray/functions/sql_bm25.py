@@ -64,6 +64,21 @@ BM25_WORD_QUERIES: list[str] = [
     "-(fast | table)",
 ]
 
+#: phrase-bearing plan shapes (2-3-word phrases, phrase∧word,
+#: phrase∨word, NOT-phrase) — positions are SQL-expressible because the
+#: index stores them dense over the kept sequence (stages/parse.py).
+BM25_PHRASE_QUERIES: list[str] = [
+    '"key order"',
+    '"fast table"',
+    '"slow fast table"',
+    '"window table table value"',
+    '"group query"',
+    '"fast key" & fast',
+    '"fast table" | merge',
+    'order & "key order"',
+    'customer & -"fast table"',
+]
+
 
 def _stem_case(var: str = "w") -> str:
     """Literal stem map over the closed testdata vocabulary."""
@@ -93,6 +108,28 @@ def _tf_col(stem: str) -> str:
     return f"b_{stem}"
 
 
+def _phrase_pred(stems: list[str]) -> str:
+    """Consecutive-kept-positions phrase predicate: the index stores
+    positions dense over the kept sequence (title ++ body,
+    stages/parse.py), so a phrase matches iff its stems appear at
+    adjacent indices of the per-doc kept-stem LIST — a sliding-window
+    scan over tst ('@'-side) or bst. Empty-stem (stopword) terms are
+    dropped first, like ShardIndex._eval_phrase."""
+    stems = [s for s in stems if s and s != "@"]
+    if not stems:
+        return "FALSE"
+    src = "tst" if stems[0].startswith("@") else "bst"
+    lits = [s[1:] if s.startswith("@") else s for s in stems]
+    k = len(lits)
+    if k == 1:
+        return f"list_contains({src}, '{lits[0]}')"
+    conds = " AND ".join(
+        f"{src}[i + {j}] = '{lit}'" if j else f"{src}[i] = '{lit}'"
+        for j, lit in enumerate(lits))
+    return (f"len([i FOR i IN range(1, len({src}) - {k - 2}) "
+            f"IF {conds}]) > 0")
+
+
 def _pred(node, qc) -> str:
     """Candidate predicate from the plan tree — mirrors
     ShardIndex.eval / _eval_mask (search.py:399-490) exactly."""
@@ -102,6 +139,8 @@ def _pred(node, qc) -> str:
         if not node.stem_ or node.stem_ == "@":
             return "FALSE"  # stopword leaf: empty posting list
         return f"{_tf_col(node.stem_)} > 0"
+    if isinstance(node, qc.Phrase):
+        return _phrase_pred(list(node.stems))
     if isinstance(node, qc.And):
         l, r = node.left, node.right
         if isinstance(r, qc.Not):
@@ -197,7 +236,7 @@ dd AS (SELECT doc_id, tst, bst, len(tst) + len(bst) AS dl,
       '/p/' || CAST(doc_id % 97 AS VARCHAR) AS url,
     array_to_string(toks[1:8], ' ') AS title
   FROM d),
-tf AS (SELECT doc_id, dl, url, title,
+tf AS (SELECT doc_id, dl, url, title, tst, bst,
         {_fnv_fp('url')} AS fp,
         {tf_cols}
   FROM dd),
