@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase-bearing flagship plans: positions restated in SQL as
         # sliding-window scans over the per-doc kept-stem lists
         "search_bm25_phrases": _search_bm25_phrases,
+        # WordNet-synonym-expanded plans: SynOr SYN_WEIGHT scoring in SQL
+        "search_bm25_synonyms": _search_bm25_synonyms,
         # reference-exact compat ranking, distributed per chunk
         "search_compat": _search_compat,
     }
@@ -187,6 +189,17 @@ def _search_bm25_phrases(sf_dir: str) -> Any:
     from search_engine_ray.pipelines.flagship import run_word_queries
 
     return run_word_queries(sf_dir, queries=BM25_PHRASE_QUERIES)
+
+
+BM25_SYN_QUERIES = ["table", "order", "line", "value", "table | line",
+                    "fast & order"]
+
+
+def _search_bm25_synonyms(sf_dir: str) -> Any:
+    from search_engine_ray.pipelines.flagship import run_word_queries
+
+    return run_word_queries(sf_dir, queries=BM25_SYN_QUERIES,
+                            use_synonyms=True)
 
 
 def _media_images(sf_dir: str) -> Any:
@@ -322,4 +335,6 @@ LIMIT 50
                                                       bm25_words_sql)
     out["search_bm25_words"] = bm25_words_sql()
     out["search_bm25_phrases"] = bm25_words_sql(BM25_PHRASE_QUERIES)
+    out["search_bm25_synonyms"] = bm25_words_sql(BM25_SYN_QUERIES,
+                                                 use_synonyms=True)
     return out

@@ -101,11 +101,35 @@ def _fnv_fp(var: str) -> str:
         f"// 2 AS BIGINT)")
 
 
-def _tf_col(stem: str) -> str:
-    """SQL column name for a term's per-doc tf."""
-    if stem.startswith("@"):
-        return f"t_{stem[1:]}"
-    return f"b_{stem}"
+class _Cols:
+    """Stem → SQL tf-column registry: collision-safe names (synonym
+    stems may contain spaces/apostrophes) + escaped literals."""
+
+    def __init__(self):
+        self.by_stem: dict[str, str] = {}
+        self.sql: dict[str, str] = {}
+
+    @staticmethod
+    def _lit(s: str) -> str:
+        return s.replace("'", "''")
+
+    def col(self, stem: str) -> str:
+        c = self.by_stem.get(stem)
+        if c is None:
+            import re
+            base = ("t_" if stem.startswith("@") else "b_") + re.sub(
+                r"[^a-z0-9]", "_", stem.lstrip("@"))
+            c = base
+            i = 2
+            while c in self.sql:
+                c = f"{base}{i}"
+                i += 1
+            src = "tst" if stem.startswith("@") else "bst"
+            lit = self._lit(stem[1:] if stem.startswith("@") else stem)
+            self.sql[c] = (f"len(list_filter({src}, "
+                           f"s -> s = '{lit}')) AS {c}")
+            self.by_stem[stem] = c
+        return c
 
 
 def _phrase_pred(stems: list[str]) -> str:
@@ -119,7 +143,8 @@ def _phrase_pred(stems: list[str]) -> str:
     if not stems:
         return "FALSE"
     src = "tst" if stems[0].startswith("@") else "bst"
-    lits = [s[1:] if s.startswith("@") else s for s in stems]
+    lits = [_Cols._lit(s[1:] if s.startswith("@") else s)
+            for s in stems]
     k = len(lits)
     if k == 1:
         return f"list_contains({src}, '{lits[0]}')"
@@ -130,7 +155,7 @@ def _phrase_pred(stems: list[str]) -> str:
             f"IF {conds}]) > 0")
 
 
-def _pred(node, qc) -> str:
+def _pred(node, qc, cols: "_Cols") -> str:
     """Candidate predicate from the plan tree — mirrors
     ShardIndex.eval / _eval_mask (search.py:399-490) exactly."""
     if node is None:
@@ -138,72 +163,90 @@ def _pred(node, qc) -> str:
     if isinstance(node, qc.Word):
         if not node.stem_ or node.stem_ == "@":
             return "FALSE"  # stopword leaf: empty posting list
-        return f"{_tf_col(node.stem_)} > 0"
+        return f"{cols.col(node.stem_)} > 0"
     if isinstance(node, qc.Phrase):
         return _phrase_pred(list(node.stems))
     if isinstance(node, qc.And):
         l, r = node.left, node.right
         if isinstance(r, qc.Not):
-            return (f"(({_pred(l, qc)}) AND NOT ({_pred(r.child, qc)}))")
+            return (f"(({_pred(l, qc, cols)}) AND NOT "
+                    f"({_pred(r.child, qc, cols)}))")
         if isinstance(l, qc.Not):
-            return (f"(({_pred(r, qc)}) AND NOT ({_pred(l.child, qc)}))")
-        return f"(({_pred(l, qc)}) AND ({_pred(r, qc)}))"
+            return (f"(({_pred(r, qc, cols)}) AND NOT "
+                    f"({_pred(l.child, qc, cols)}))")
+        return f"(({_pred(l, qc, cols)}) AND ({_pred(r, qc, cols)}))"
     if isinstance(node, (qc.Or, qc.SynOr)):
         rest = node.right if isinstance(node, qc.Or) else node.rest
-        return f"(({_pred(node.left, qc)}) OR ({_pred(rest, qc)}))"
+        return (f"(({_pred(node.left, qc, cols)}) OR "
+                f"({_pred(rest, qc, cols)}))")
     if isinstance(node, qc.Not):
         return "FALSE"  # bare NOT: eval() returns the empty set
     raise TypeError(type(node))
 
 
-def bm25_words_sql(queries: list[str] | None = None, k: int = 10) -> str:
+def bm25_words_sql(queries: list[str] | None = None, k: int = 10,
+                   use_synonyms: bool = False) -> str:
     """One-statement DuckDB oracle for ``flagship.run_word_queries``:
-    (query_id, rank, score, doc_id, url, title), hash-exact."""
+    (query_id, rank, score, doc_id, url, title), hash-exact.
+    ``use_synonyms=True`` compiles with the vendored WordNet synsets:
+    SynOr subtrees score with weight SYN_WEIGHT (Ranker.hpp:110) —
+    multi-word synonym stems can never match single-token postings on
+    either engine, so their tf is 0 on both."""
     from ..query import compile as qc
-    from ..pipelines.search import flatten_terms, scoring_terms
+    from ..pipelines.search import SYN_WEIGHT, flatten_terms, scoring_terms
 
     queries = list(queries or BM25_WORD_QUERIES)
-    plans = [qc.compile_query(q, synsets=None, title_stem_fix=True)
+    synsets = qc.get_default_synsets() if use_synonyms else None
+    plans = [qc.compile_query(q, synsets, title_stem_fix=True)
              for q in queries]
 
     # every (stream, stem) tf column any query needs, insertion-ordered
     # (flatten_terms, not scoring_terms: NOT-side terms never score but
     # the candidate predicate still probes their tf)
-    cols: dict[str, str] = {}
+    cols = _Cols()
     for plan in plans:
         if plan is None:
             continue
         for stem, _syn in flatten_terms(plan):
-            c = _tf_col(stem)
-            if c not in cols:
-                src = "tst" if stem.startswith("@") else "bst"
-                lit = stem[1:] if stem.startswith("@") else stem
-                cols[c] = (f"len(list_filter({src}, "
-                           f"s -> s = '{lit}')) AS {c}")
+            cols.col(stem)
 
     smap = _stem_case("w")
-    tf_cols = ",\n        ".join(cols.values()) if cols else "0 AS none_"
+    tf_cols = ",\n        ".join(cols.sql.values()) \
+        if cols.sql else "0 AS none_"
     df_cols = ",\n        ".join(
         f"CAST(SUM(CASE WHEN {c} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
-        f"AS df_{c}" for c in cols) or "0 AS df_none_"
+        f"AS df_{c}" for c in cols.sql) or "0 AS df_none_"
 
     parts = []
     for qid, plan in enumerate(plans):
         if plan is None:
             continue  # invalid query → no rows (engine returns empty)
-        pred = _pred(plan, qc)
+        pred = _pred(plan, qc, cols)
         # score: fold-left in scoring_terms order, each op in numpy's
-        # association (bm25_impact, segments.py:70-73; idf, search.py:1158)
-        sc = "0.0"
-        for stem, _syn in scoring_terms(plan):
-            c = _tf_col(stem)
+        # association (bm25_impact, segments.py:70-73; idf, search.py:1158;
+        # synonym weight applied as (SYN_WEIGHT * idf) * imp — float
+        # multiplication is exactly commutative, so this matches both the
+        # exhaustive path's (SYN*w)*imp and WAND's (w*SYN)*imp). The fold
+        # is a flat list_reduce from 0.0 — bit-identical to a nested
+        # (((0+c1)+c2)+…) chain but O(1) binder depth (a 62-synonym
+        # SynOr would blow DuckDB's 128-deep expression recursion)
+        contribs = []
+        for stem, is_syn in scoring_terms(plan):
+            c = cols.col(stem)
             idf = (f"ln(1.0 + (g.n - g.df_{c} + 0.5) "
                    f"/ (g.df_{c} + 0.5))")
+            if is_syn:
+                idf = f"({SYN_WEIGHT!r} * {idf})"
             imp = (f"(CAST({c} AS DOUBLE) / (CAST({c} AS DOUBLE) "
                    f"+ 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) "
                    f"/ g.avgdl)))")
-            sc = (f"({sc} + (CASE WHEN {c} > 0 "
-                  f"THEN {idf} * {imp} ELSE 0.0 END))")
+            contribs.append(f"CASE WHEN {c} > 0 "
+                            f"THEN {idf} * {imp} ELSE 0.0 END")
+        if contribs:
+            sc = (f"list_reduce(list_prepend(0.0, [{', '.join(contribs)}"
+                  f"]), (h, x) -> h + x)")
+        else:
+            sc = "0.0"
         parts.append(f"""
 SELECT * FROM (
   SELECT CAST({qid} AS BIGINT) AS query_id,

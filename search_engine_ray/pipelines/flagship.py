@@ -52,7 +52,8 @@ def build_sf_index(sf_dir: str, docs_per_shard: int = 2048) -> str:
 
 
 def run_word_queries(sf_dir: str, k: int = 10,
-                     queries: list[str] | None = None) -> pa.Table:
+                     queries: list[str] | None = None,
+                     use_synonyms: bool = False) -> pa.Table:
     """Flagship BM25 serving over WORD-ONLY query plans with synonym
     expansion off — the subset whose scoring is fully SQL-expressible,
     giving the flagship a hash-exact DuckDB oracle
@@ -61,7 +62,7 @@ def run_word_queries(sf_dir: str, k: int = 10,
     from ..functions.sql_bm25 import BM25_WORD_QUERIES
 
     index_dir = build_sf_index(sf_dir)
-    eng = SearchEngine(index_dir, use_synonyms=False)
+    eng = SearchEngine(index_dir, use_synonyms=use_synonyms)
     try:
         batches = []
         for qid, q in enumerate(queries or BM25_WORD_QUERIES):
