@@ -99,7 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "ann_topk_ivfpq": ann.ann_topk_ivfpq,
-        # flagship: index build + BM25 serving (non-SQL → rows-only check)
+        # flagship: index build + BM25 serving over the FULL reference
+        # query set (phrases, synonyms, stopword cases, NOT) — now with
+        # a hash-exact DuckDB twin generated from the compiled plans
         "search_bm25": _search_bm25,
         # flagship word-only subset WITH a hash-exact DuckDB BM25 twin
         # (functions/sql_bm25.py): synthesis → parse → stem → dl/avgdl →
@@ -337,4 +339,10 @@ LIMIT 50
     out["search_bm25_phrases"] = bm25_words_sql(BM25_PHRASE_QUERIES)
     out["search_bm25_synonyms"] = bm25_words_sql(BM25_SYN_QUERIES,
                                                  use_synonyms=True)
+    # the headline itself: the FULL reference query set (client.cpp
+    # expression shapes — phrases, synonyms, stopword-only, NOT) in the
+    # run_reference_queries output shape
+    from search_engine_ray.query.refqueries import REF_QUERIES
+    out["search_bm25"] = bm25_words_sql(REF_QUERIES, use_synonyms=True,
+                                        reference_shape=True)
     return out
