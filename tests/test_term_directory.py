@@ -124,3 +124,29 @@ def test_stale_directory_is_ignored(ray_session, tmp_path):
         assert eng._blooms  # bloom pruning still active
     finally:
         eng.close()
+
+
+def test_frontend_pool_shares_directory(ray_session, tmp_path):
+    """FrontendPool with a shared DirectoryPool: routed results through
+    frontend actors identical to the driver-side engine."""
+    from search_engine_ray.pipelines.search import (FrontendPool,
+                                                    SearchEngine)
+    from search_engine_ray.state.term_directory import (DirectoryPool,
+                                                        build_term_directory,
+                                                        read_meta)
+
+    out = _build(tmp_path)
+    build_term_directory(out, n_buckets=4)
+    eng = SearchEngine(out, num_searchers=2, use_directory=False)
+    pool = DirectoryPool(out, read_meta(out)["n_buckets"], n_actors=2)
+    fp = FrontendPool(out, eng.actors, n_frontends=2,
+                      actor_shards=eng._actor_shards, dir_pool=pool)
+    try:
+        queries = ["running", "running & children", "zzabsent9", ""]
+        got = fp.search_stream(queries, k=10, chunk=1)
+        for q, t in zip(queries, got):
+            assert t.equals(eng.search(q, k=10)), q
+    finally:
+        fp.close()
+        pool.close()
+        eng.close()
