@@ -307,8 +307,11 @@ def corpus_prep(sf_dir: str, min_quality_bp: int = 4500, k: int = 5,
              .map_groups(merge, batch_format="pyarrow"))
 
 
-def corpus_prep_sql(min_quality_bp: int = 4500) -> str:
-    """DuckDB twin of corpus_prep: the same stage CTEs composed."""
+def corpus_prep_sql(min_quality_bp: int = 4500, k: int = 5,
+                    holdout_mod: int = 97) -> str:
+    """DuckDB twin of corpus_prep: the same stage CTEs composed (k and
+    holdout_mod plumb through to the decontamination CTE so non-default
+    arguments keep the pair comparable)."""
     from . import sql_hash
     from .docops import SQL as DOC_SQL
     from .textstats import SQL_QUALITY_SCORE
@@ -316,7 +319,7 @@ def corpus_prep_sql(min_quality_bp: int = 4500) -> str:
     return f"""
 WITH q AS ({SQL_QUALITY_SCORE}),
 r AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
-c AS ({sql_hash.decontaminate_sql()}),
+c AS ({sql_hash.decontaminate_sql(k=k, holdout_mod=holdout_mod)}),
 t AS ({DOC_SQL["token_count"]})
 SELECT q.doc_id, t.n_tokens, q.quality_bp
 FROM q JOIN r USING (doc_id) JOIN c USING (doc_id) JOIN t USING (doc_id)

@@ -103,13 +103,18 @@ def orders_by_segment(sf_dir: str):
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
-            seg = self.segs[np.searchsorted(self.keys, ck)]
+            pos = np.clip(np.searchsorted(self.keys, ck), 0,
+                          len(self.keys) - 1)
+            hit = self.keys[pos] == ck  # inner-join semantics: an
+            # o_custkey absent from customer drops (the oracle's JOIN),
+            # never silently lands on the next key's segment
+            seg = self.segs[pos[hit]]
             t = pa.table({
                 "c_mktsegment": pa.array(seg, pa.string()),
-                "n_orders": pa.array(np.ones(len(b), np.int64)),
+                "n_orders": pa.array(np.ones(int(hit.sum()), np.int64)),
                 "total_cents": pa.array(_cents(
                     b.column("o_totalprice").to_numpy(
-                        zero_copy_only=False))),
+                        zero_copy_only=False)[hit])),
             })
             return _gsum(t, ["c_mktsegment"], ["n_orders", "total_cents"])
 
@@ -252,10 +257,12 @@ def suppliers_per_region(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         keys, names_ = ray.get(lookup_ref)
         snk = b.column("s_nationkey").to_numpy(zero_copy_only=False)
-        rn = names_[np.searchsorted(keys, snk)]
+        pos = np.clip(np.searchsorted(keys, snk), 0, len(keys) - 1)
+        hit = keys[pos] == snk  # inner-join semantics (see JoinSegment)
+        rn = names_[pos[hit]]
         t = pa.table({"r_name": pa.array(rn, pa.string()),
                       "n_suppliers": pa.array(
-                          np.ones(len(b), np.int64))})
+                          np.ones(int(hit.sum()), np.int64))})
         return _gsum(t, ["r_name"], ["n_suppliers"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -381,16 +388,19 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
     def banded(b: pa.Table) -> pa.Table:
         ts_us = b.column("ts").cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        types = b.column("event_type").to_pylist()
         return pa.table({
             "user_id": b.column("user_id").cast(pa.int64()),
             "band": pa.array(ts_us // band_us, pa.int64()),
             "event_id": b.column("event_id").cast(pa.int64()),
             "ts_us": pa.array(ts_us, pa.int64()),
-            "is_left": pa.array([t == left_type for t in types]),
+            "is_left": pc.equal(b.column("event_type"), left_type),
         })
 
-    stream = ds.map_batches(banded, batch_format="pyarrow")
+    # materialize: the banded stream feeds BOTH the summary chain and
+    # the final union — without this the full events read + band map
+    # would re-execute for each consumer (object-store-resident blocks,
+    # spillable, never on the driver)
+    stream = ds.map_batches(banded, batch_format="pyarrow").materialize()
 
     _SUM_SCHEMA = {
         "user_id": pa.int64(), "band": pa.int64(),
@@ -505,7 +515,7 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
             "band": pa.array(out_b, pa.int64()),
             "event_id": pa.array(out_id, pa.int64()),
             "ts_us": pa.array(out_ts, pa.int64()),
-            "is_left": pa.array([False] * len(out_b)),
+            "is_left": pa.array([False] * len(out_b), pa.bool_()),
         })
 
     carry = summary.groupby("user_id").map_groups(
@@ -594,8 +604,8 @@ def events_range_join(sf_dir: str, window_us: int = _RANGE_W_US):
             zero_copy_only=False)
         ids = b.column("event_id").to_numpy(zero_copy_only=False)
         users = b.column("user_id").to_numpy(zero_copy_only=False)
-        is_err = np.asarray(
-            [t == "error" for t in b.column("event_type").to_pylist()])
+        is_err = pc.equal(b.column("event_type"), "error").to_numpy(
+            zero_copy_only=False).astype(bool)
         bands = ts_us // window_us
         reps = []
         # errors live in their own band; purchases replicate to band±1.
@@ -610,7 +620,8 @@ def events_range_join(sf_dir: str, window_us: int = _RANGE_W_US):
                 "band": pa.array(bands[sel] + shift, pa.int64()),
                 "event_id": pa.array(ids[sel], pa.int64()),
                 "ts_us": pa.array(ts_us[sel], pa.int64()),
-                "is_err": pa.array(is_err[sel] & (shift == 0)),
+                "is_err": pa.array(is_err[sel] & (shift == 0),
+                                   pa.bool_()),
             }))
         return pa.concat_tables(reps)
 

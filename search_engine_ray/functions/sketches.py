@@ -100,10 +100,12 @@ def top_terms(sf_dir: str, k: int = 25, capacity: int = 512):
         merged = merged[merged["c"] > thresh]
         truncated_any = True
     candidates = frozenset(merged["term"])
-    cand_ref = ray.put(candidates)
+    # put the PREPARED Arrow array once: per-batch ray.get is a local
+    # zero-copy read, no per-batch sort/convert of the candidate set
+    cand_ref = ray.put(pa.array(sorted(candidates)))
 
     def recount(b: pa.Table) -> pa.Table:
-        cand = pa.array(sorted(ray.get(cand_ref)))
+        cand = ray.get(cand_ref)
         from .textstats import _tokens_per_doc
         flat, _ = _tokens_per_doc(b.column("text"))
         flat = flat.filter(pc.is_in(flat, value_set=cand))

@@ -185,7 +185,8 @@ def _pred(node, qc, cols: "_Cols") -> str:
 
 
 def bm25_words_sql(queries: list[str] | None = None, k: int = 10,
-                   use_synonyms: bool = False) -> str:
+                   use_synonyms: bool = False,
+                   reference_shape: bool = False) -> str:
     """One-statement DuckDB oracle for ``flagship.run_word_queries``:
     (query_id, rank, score, doc_id, url, title), hash-exact.
     ``use_synonyms=True`` compiles with the vendored WordNet synsets:
@@ -247,12 +248,23 @@ def bm25_words_sql(queries: list[str] | None = None, k: int = 10,
                   f"]), (h, x) -> h + x)")
         else:
             sc = "0.0"
+        if reference_shape:
+            # run_reference_queries emits (query_id, query, rank,
+            # score, doc_id, url) — query string literal, no title
+            qlit = _Cols._lit(queries[qid])
+            sel = (f"CAST({qid} AS BIGINT) AS query_id, "
+                   f"'{qlit}' AS query,\n         "
+                   f"CAST(row_number() OVER (ORDER BY score DESC, fp) "
+                   f"AS BIGINT)\n           AS rank,\n"
+                   f"         score, fp AS doc_id, url")
+        else:
+            sel = (f"CAST({qid} AS BIGINT) AS query_id,\n         "
+                   f"CAST(row_number() OVER (ORDER BY score DESC, fp) "
+                   f"AS BIGINT)\n           AS rank,\n"
+                   f"         score, fp AS doc_id, url, title")
         parts.append(f"""
 SELECT * FROM (
-  SELECT CAST({qid} AS BIGINT) AS query_id,
-         CAST(row_number() OVER (ORDER BY score DESC, fp) AS BIGINT)
-           AS rank,
-         score, fp AS doc_id, url, title
+  SELECT {sel}
   FROM (SELECT fp, url, title, {sc} AS score
         FROM tf, g WHERE {pred})
   ORDER BY score DESC, fp LIMIT {k})""")
@@ -287,6 +299,6 @@ g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
         {df_cols}
   FROM tf)
-SELECT query_id, rank, score, doc_id, url, title FROM ({body})
+SELECT * FROM ({body})
 ORDER BY query_id, rank
 """

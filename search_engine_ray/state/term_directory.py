@@ -120,9 +120,13 @@ class DirectoryActor:
                 self._views[b] = None
                 continue
             t = t.sort_by([("term", "ascending")])
-            terms = t.column("term").combine_chunks()
+            # large_string: int64 offsets and no 2 GiB-per-bucket data
+            # cap (a web-scale bucket's term bytes overflow int32
+            # offsets; combine_chunks on plain string would raise)
+            terms = t.column("term").cast(pa.large_string()) \
+                .combine_chunks()
             bufs = terms.buffers()
-            offs = np.frombuffer(bufs[1], dtype=np.int32)
+            offs = np.frombuffer(bufs[1], dtype=np.int64)
             data = (np.frombuffer(bufs[2], dtype=np.uint8)
                     if bufs[2] else np.empty(0, np.uint8))
             shards = t.column("shard").to_numpy(
@@ -188,6 +192,12 @@ class DirectoryPool:
         self._cache_size = cache_size
 
     def shards_for(self, terms: list[str]) -> dict[str, np.ndarray]:
+        # move-to-end on hit: true LRU, not insertion-order FIFO (the
+        # same defect class fixed in ShardIndex._rg_cache this round)
+        for t in terms:
+            hit = self._cache.pop(t, None)
+            if hit is not None:
+                self._cache[t] = hit
         missing = [t for t in terms if t not in self._cache]
         if missing:
             h = fnv1a_64_np(missing) % np.uint64(self.n_buckets)

@@ -159,3 +159,25 @@ def test_dedup_clusters_oracle_planted(ray_session, cluster_sf_dir):
     o = con.execute(dedup_clusters_sql()).df()
     for c in ("doc_id", "cluster_id", "keep"):
         assert out[c].tolist() == o[c].tolist()
+
+
+def test_corpus_prep_nondefault_args_match_oracle(ray_session):
+    """k/holdout_mod plumb through BOTH sides of the composed pipeline."""
+    import duckdb
+
+    from search_engine_ray.functions.hygiene import (corpus_prep,
+                                                     corpus_prep_sql)
+
+    sf = "/root/testdata/sf0.001"
+    mine = corpus_prep(sf, min_quality_bp=4400, k=4,
+                       holdout_mod=50).to_pandas()
+    mine = mine.sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(corpus_prep_sql(min_quality_bp=4400, k=4,
+                                      holdout_mod=50)).fetchdf()
+    assert len(mine) == len(ora) > 0
+    for c in ("doc_id", "n_tokens", "quality_bp"):
+        assert (mine[c].astype("int64").values
+                == ora[c].astype("int64").values).all(), c
