@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
         "orders_by_month": relational.orders_by_month,
+        # distributed hash equi-join (both sides partitioned — the shape
+        # the broadcast join can't take) + ordered conversion funnel
+        "revenue_by_nation": relational.revenue_by_nation,
+        "events_funnel": relational.events_funnel,
         "top_parts_by_price": relational.top_parts_by_price,
         "suppliers_per_region": relational.suppliers_per_region,
         "source_stats": relational.source_stats,
@@ -99,6 +103,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "ann_topk_ivfpq": ann.ann_topk_ivfpq,
+        # corpus curation: deterministic stratified sampling (stateless
+        # integer-hash filter), exact distributed quantiles (histogram,
+        # no global sort), per-group top-k (two-level combiner)
+        "stratified_sample": _stratified_sample,
+        "length_quantiles": _length_quantiles,
+        "top_terms_per_lang": _top_terms_per_lang,
         # flagship: index build + BM25 serving over the FULL reference
         # query set (phrases, synonyms, stopword cases, NOT) — now with
         # a hash-exact DuckDB twin generated from the compiled plans
@@ -115,6 +125,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reference-exact compat ranking, distributed per chunk
         "search_compat": _search_compat,
     }
+
+
+def _stratified_sample(sf_dir: str) -> Any:
+    from search_engine_ray.functions.sampling import stratified_sample
+
+    return stratified_sample(sf_dir)
+
+
+def _length_quantiles(sf_dir: str) -> Any:
+    from search_engine_ray.functions.sampling import length_quantiles
+
+    return length_quantiles(sf_dir)
+
+
+def _top_terms_per_lang(sf_dir: str) -> Any:
+    from search_engine_ray.functions.sampling import top_terms_per_lang
+
+    return top_terms_per_lang(sf_dir)
 
 
 def _top_terms(sf_dir: str) -> Any:
@@ -261,6 +289,12 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_ray.functions.sessions import SQL_SESSIONIZE
     out["events_sessionize"] = SQL_SESSIONIZE
     out["events_asof_join"] = relational.SQL_EVENTS_ASOF
+    out["revenue_by_nation"] = relational.SQL_REVENUE_BY_NATION
+    out["events_funnel"] = relational.SQL_EVENTS_FUNNEL
+    from search_engine_ray.functions import sampling
+    out["stratified_sample"] = sampling.stratified_sample_sql()
+    out["length_quantiles"] = sampling.length_quantiles_sql()
+    out["top_terms_per_lang"] = sampling.top_terms_per_lang_sql()
     out["events_range_join"] = relational.SQL_EVENTS_RANGE_JOIN
     from search_engine_ray.functions.textstats import (
         SQL_GOPHER_QUALITY, SQL_LANG_ID, SQL_QUALITY_SCORE,

@@ -668,3 +668,167 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
  AND ABS(epoch_us(p.ts) - epoch_us(e.ts)) <= {_RANGE_W_US}
 ORDER BY error_id, purchase_id
 """
+
+
+# ---------------------------------------------------------------------------
+def revenue_by_nation(sf_dir: str, num_partitions: int = 8):
+    """Order revenue per nation: a DISTRIBUTED HASH EQUI-JOIN
+    (customer ⋈ orders on custkey) — the shape ``orders_by_segment``'s
+    broadcast join can't take when BOTH sides are large.
+
+    Scale shape: the fact side is pre-aggregated per batch (one row per
+    distinct o_custkey per batch) BEFORE the join, so the shuffle moves
+    order partials, not order rows; the join itself is Ray Data's native
+    hash join (both sides hash-partitioned on the key — no broadcast, no
+    driver materialization); the 25-row nation dim is applied as a plain
+    searchsorted lookup after the post-join re-aggregation.
+    """
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "n_orders": pa.array(np.ones(len(b), np.int64)),
+            "total_cents": pa.array(_cents(b.column(
+                "o_totalprice").to_numpy(zero_copy_only=False))),
+        })
+        return _gsum(t, ["o_custkey"], ["n_orders", "total_cents"])
+
+    fact = orders.map_batches(order_partial, batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    joined = fact.join(cust, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("o_custkey",), right_on=("c_custkey",))
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c_nationkey": b.column("c_nationkey"),
+            "n_orders": b.column("n_orders"),
+            "total_cents": b.column("total_cents"),
+        })
+        return _gsum(t, ["c_nationkey"], ["n_orders", "total_cents"])
+
+    per_nation = joined.map_batches(
+        nation_partial, batch_format="pyarrow").groupby(
+        "c_nationkey").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"))
+
+    # 25-row dim: sorted-key lookup inside the final (tiny) stream
+    import pyarrow.parquet as pq
+    import os as _os
+    nat = pq.read_table(_os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nkeys = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(nkeys)
+    nkeys = nkeys[order]
+    nnames = nat.column("n_name").to_numpy(zero_copy_only=False)[order]
+
+    def add_name(b: pa.Table) -> pa.Table:
+        k = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(nkeys, k), 0, len(nkeys) - 1)
+        hit = nkeys[pos] == k
+        return pa.table({
+            "n_name": pa.array(nnames[pos[hit]], pa.string()),
+            "n_orders": b.column("n_orders").filter(pa.array(hit)),
+            "total_cents": b.column("total_cents").filter(pa.array(hit)),
+        })
+
+    return per_nation.map_batches(add_name, batch_format="pyarrow")
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, steps: tuple[str, ...] = _FUNNEL_STEPS):
+    """Ordered conversion funnel: users whose first step-i event happens
+    STRICTLY AFTER their effective first step-(i-1) event.
+
+    Per-user semantics (exact, matches the SQL twin): t1 = min ts of
+    step 1; t2 = min ts of step 2 events with ts > t1; t3 = min ts of
+    step 3 events with ts > t2; a user counts for step i iff t_i exists.
+
+    Scale shape: events are filtered to the step types at the read
+    (column- and row-pruned), grouped per user (the same per-user-group
+    contract as sessionize — a group is one user's step events, never
+    the table), and each group emits three 0/1 flags; flags fold through
+    a per-batch integer partial sum, so the driver sees one 3-int row.
+    Returns (step, n_users) with steps labeled '1_view', '2_click', ...
+    """
+    step_arr = pa.array(list(steps))
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("event_type"), value_set=step_arr)
+        b = b.filter(m)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "step": pc.fill_null(pc.index_in(
+                b.column("event_type"), value_set=step_arr), -1)
+                .cast(pa.int64()),
+            "ts_us": b.column("ts").cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+        })
+
+    def per_user(b: pa.Table) -> pa.Table:
+        st = b.column("step").to_numpy(zero_copy_only=False)
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
+        flags = np.zeros(len(steps), dtype=np.int64)
+        prev = -(1 << 62)
+        for i in range(len(steps)):
+            cand = ts[(st == i) & (ts > prev)]
+            if len(cand) == 0:
+                break
+            prev = cand.min()
+            flags[i] = 1
+        return pa.table({f"s{i}": pa.array([int(flags[i])], pa.int64())
+                         for i in range(len(steps))})
+
+    flags = (ds.map_batches(prune, batch_format="pyarrow")
+               .groupby("user_id")
+               .map_groups(per_user, batch_format="pyarrow"))
+
+    def partial_sum(b: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array([pc.sum(b.column(c)).as_py() or 0],
+                                     pa.int64())
+                         for c in b.column_names})
+
+    totals = flags.map_batches(partial_sum, batch_format="pyarrow") \
+                  .to_pandas().sum()
+    return pa.table({
+        "step": pa.array([f"{i + 1}_{s}" for i, s in enumerate(steps)]),
+        "n_users": pa.array([int(totals[f"s{i}"])
+                             for i in range(len(steps))], pa.int64()),
+    })
+
+
+SQL_EVENTS_FUNNEL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT t.step, t.n_users FROM (VALUES
+  ('1_view', (SELECT COUNT(*) FROM v)),
+  ('2_click', (SELECT COUNT(*) FROM c)),
+  ('3_purchase', (SELECT COUNT(*) FROM p))) t(step, n_users)
+ORDER BY t.step
+"""
