@@ -109,6 +109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _stratified_sample,
         "length_quantiles": _length_quantiles,
         "top_terms_per_lang": _top_terms_per_lang,
+        # feature engineering: signed feature-hashed BoW (sparse long
+        # form) + typed JSON field extraction over events.props
+        "feature_hash_bow": _feature_hash_bow,
+        "events_json_stats": _events_json_stats,
         # flagship: index build + BM25 serving over the FULL reference
         # query set (phrases, synonyms, stopword cases, NOT) — now with
         # a hash-exact DuckDB twin generated from the compiled plans
@@ -143,6 +147,18 @@ def _top_terms_per_lang(sf_dir: str) -> Any:
     from search_engine_ray.functions.sampling import top_terms_per_lang
 
     return top_terms_per_lang(sf_dir)
+
+
+def _feature_hash_bow(sf_dir: str) -> Any:
+    from search_engine_ray.functions.features import feature_hash_bow
+
+    return feature_hash_bow(sf_dir)
+
+
+def _events_json_stats(sf_dir: str) -> Any:
+    from search_engine_ray.functions.features import events_json_stats
+
+    return events_json_stats(sf_dir)
 
 
 def _top_terms(sf_dir: str) -> Any:
@@ -295,6 +311,9 @@ def oracle_sql() -> dict[str, str]:
     out["stratified_sample"] = sampling.stratified_sample_sql()
     out["length_quantiles"] = sampling.length_quantiles_sql()
     out["top_terms_per_lang"] = sampling.top_terms_per_lang_sql()
+    from search_engine_ray.functions import features
+    out["feature_hash_bow"] = features.feature_hash_bow_sql()
+    out["events_json_stats"] = features.SQL_EVENTS_JSON_STATS
     out["events_range_join"] = relational.SQL_EVENTS_RANGE_JOIN
     from search_engine_ray.functions.textstats import (
         SQL_GOPHER_QUALITY, SQL_LANG_ID, SQL_QUALITY_SCORE,

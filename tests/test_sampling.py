@@ -100,3 +100,35 @@ def test_events_funnel_strict_ordering(tiny_dir):
     assert int(t["1_view"]) == 3      # users 1, 2, 3
     assert int(t["2_click"]) == 2     # user 2's click precedes its view
     assert int(t["3_purchase"]) == 1  # only user 1 in order
+
+
+def test_feature_hash_sign_cancellation(tiny_dir):
+    """doc 1 = 'a a': both tokens hash to the same (bucket, sign), so its
+    single feature has |weight| = 2; every weight is a signed count."""
+    from search_engine_ray.functions.features import feature_hash_bow
+    t = feature_hash_bow(tiny_dir, dim=8).to_pandas()
+    d1 = t[t["doc_id"] == 1]
+    assert len(d1) == 1 and abs(int(d1["weight"].iloc[0])) == 2
+    d3 = t[t["doc_id"] == 3]          # empty doc → no features
+    assert len(d3) == 0
+    assert (t["bucket"] < 8).all() and (t["bucket"] >= 0).all()
+
+
+def test_events_json_stats_drops_missing_field(tmp_path, ray_session):
+    import pyarrow as pa, pyarrow.parquet as pq
+    import numpy as np
+    from search_engine_ray.functions.features import events_json_stats
+    ts = pa.array([np.datetime64("2024-01-01", "us")] * 3,
+                  pa.timestamp("us"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": ["click", "click", "click"],
+        "props": ['{"k": 7}', '{"other": 1}', '{"k": 3}'],
+    }), tmp_path / "events.parquet")
+    t = events_json_stats(str(tmp_path)).to_pandas()
+    assert len(t) == 1
+    r = t.iloc[0]
+    assert (int(r["n_events"]), int(r["sum_k"]),
+            int(r["min_k"]), int(r["max_k"])) == (2, 10, 3, 7)
