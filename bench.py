@@ -338,9 +338,14 @@ def run_bench() -> dict:
     # auxiliary operators at the sf dir (documents table scale)
     from search_engine_ray.functions import ann, docops
 
+    from search_engine_ray.functions import relational
+
     for name, fn in [("dedup_exact", docops.dedup_exact),
                      ("term_stats", docops.term_stats),
-                     ("ann_topk", ann.ann_topk)]:
+                     ("ann_topk", ann.ann_topk),
+                     # distributed hash equi-join over the 150k-order /
+                     # 15k-customer fact/dim pair at sf0.1
+                     ("revenue_by_nation", relational.revenue_by_nation)]:
         t0 = time.time()
         out = fn(SF_DIR)
         if hasattr(out, "materialize"):
