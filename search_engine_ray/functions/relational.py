@@ -671,17 +671,22 @@ ORDER BY error_id, purchase_id
 
 
 # ---------------------------------------------------------------------------
-def revenue_by_nation(sf_dir: str, num_partitions: int = 8):
-    """Order revenue per nation: a DISTRIBUTED HASH EQUI-JOIN
+def revenue_by_nation(sf_dir: str, num_partitions: int = 8,
+                      broadcast_gate: int = 4_000_000):
+    """Order revenue per nation: a size-gated DISTRIBUTED EQUI-JOIN
     (customer ⋈ orders on custkey) — the shape ``orders_by_segment``'s
-    broadcast join can't take when BOTH sides are large.
+    always-broadcast join can't take when BOTH sides are large.
 
-    Scale shape: the fact side is pre-aggregated per batch (one row per
-    distinct o_custkey per batch) BEFORE the join, so the shuffle moves
-    order partials, not order rows; the join itself is Ray Data's native
-    hash join (both sides hash-partitioned on the key — no broadcast, no
-    driver materialization); the 25-row nation dim is applied as a plain
-    searchsorted lookup after the post-join re-aggregation.
+    Join-strategy gate (the same pattern as build.py's size-gated driver
+    paths): if the dim side (customer) has ≤ ``broadcast_gate`` rows it
+    is ``ray.put`` once as a sorted key/value pair and probed by
+    searchsorted inside map_batches — zero shuffle; above the gate both
+    sides go through Ray Data's native partitioned hash join.  Either
+    way the fact side is pre-aggregated per batch FIRST (one row per
+    distinct o_custkey per batch), so what moves is order partials, not
+    order rows; the 25-row nation dim is applied as a searchsorted
+    lookup after the post-join re-aggregation.  Both paths are pinned
+    equal by tests/test_sampling.py.
     """
     orders = read_table(sf_dir, "orders",
                         columns=["o_custkey", "o_totalprice"])
@@ -698,9 +703,38 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8):
     fact = orders.map_batches(order_partial, batch_format="pyarrow")
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_nationkey"])
-    joined = fact.join(cust, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=("o_custkey",), right_on=("c_custkey",))
+    # metadata-only row count (parquet footer) — no data scan
+    n_cust = cust.count()
+    if n_cust <= broadcast_gate:
+        ct = cust.to_pandas()
+        ck = ct["c_custkey"].to_numpy(dtype=np.int64)
+        order = np.argsort(ck)
+        dim_ref = ray.put((ck[order],
+                           ct["c_nationkey"].to_numpy(np.int64)[order]))
+
+        class Probe:
+            def __init__(self):
+                self.keys, self.nk = ray.get(dim_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                k = b.column("o_custkey").to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(self.keys, k), 0,
+                              max(len(self.keys) - 1, 0))
+                hit = (self.keys[pos] == k) if len(self.keys) else \
+                    np.zeros(len(k), bool)
+                return pa.table({
+                    "c_nationkey": pa.array(self.nk[pos[hit]], pa.int64()),
+                    "n_orders": b.column("n_orders").filter(pa.array(hit)),
+                    "total_cents": b.column("total_cents").filter(
+                        pa.array(hit)),
+                })
+
+        joined = fact.map_batches(Probe, batch_format="pyarrow",
+                                  concurrency=2)
+    else:
+        joined = fact.join(cust, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("o_custkey",), right_on=("c_custkey",))
 
     def nation_partial(b: pa.Table) -> pa.Table:
         t = pa.table({

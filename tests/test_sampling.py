@@ -87,11 +87,15 @@ def test_top_terms_tiebreak(tiny_dir):
 
 def test_revenue_by_nation_inner_join_drops_dangling(tiny_dir):
     from search_engine_ray.functions.relational import revenue_by_nation
-    t = revenue_by_nation(tiny_dir, num_partitions=2).to_pandas()
-    # custkey 999 has no customer row; customer 11 has no orders
-    assert list(t["n_name"]) == ["ALPHA"]
-    assert int(t["n_orders"].iloc[0]) == 2
-    assert int(t["total_cents"].iloc[0]) == 1550
+    # default gate → broadcast path; gate=0 → partitioned hash join.
+    # Both must agree (and both drop the dangling keys): custkey 999
+    # has no customer row; customer 11 has no orders.
+    for gate in (4_000_000, 0):
+        t = revenue_by_nation(tiny_dir, num_partitions=2,
+                              broadcast_gate=gate).to_pandas()
+        assert list(t["n_name"]) == ["ALPHA"], gate
+        assert int(t["n_orders"].iloc[0]) == 2, gate
+        assert int(t["total_cents"].iloc[0]) == 1550, gate
 
 
 def test_events_funnel_strict_ordering(tiny_dir):
