@@ -113,6 +113,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # form) + typed JSON field extraction over events.props
         "feature_hash_bow": _feature_hash_bow,
         "events_json_stats": _events_json_stats,
+        # row-preserving window functions (LAG + RANGE rolling count):
+        # one groupby(user) shuffle, vectorized in-group kernels,
+        # event_id tie-break pinned on both engines
+        "events_user_lag": _events_user_lag,
+        "events_rolling_count": _events_rolling_count,
+        # distinct counting: exact per-group COUNT(DISTINCT) via the
+        # pair-dedup combiner + a deterministic HyperLogLog register
+        # sketch (splitmix64) whose 256-row register table hash-matches
+        # a pure-integer DuckDB twin
+        "events_distinct_users": _events_distinct_users,
+        "hll_distinct": _hll_distinct,
+        # anti-join (NOT EXISTS): size-gated broadcast-drop vs native
+        # left_anti hash join; GROUPING-SETS rollup (distributed finest
+        # level, driver-derived coarser levels over a bounded table)
+        "customers_without_orders": _customers_without_orders,
+        "orders_rollup": _orders_rollup,
+        # bigram co-occurrence (PMI-ready collocations): two-level pair
+        # combiner + broadcast-filtered unigram lookup
+        "bigram_stats": _bigram_stats,
         # flagship: index build + BM25 serving over the FULL reference
         # query set (phrases, synonyms, stopword cases, NOT) — now with
         # a hash-exact DuckDB twin generated from the compiled plans
@@ -129,6 +148,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reference-exact compat ranking, distributed per chunk
         "search_compat": _search_compat,
     }
+
+
+def _events_user_lag(sf_dir: str) -> Any:
+    from search_engine_ray.functions.windows import events_user_lag
+
+    return events_user_lag(sf_dir)
+
+
+def _events_rolling_count(sf_dir: str) -> Any:
+    from search_engine_ray.functions.windows import events_rolling_count
+
+    return events_rolling_count(sf_dir)
+
+
+def _events_distinct_users(sf_dir: str) -> Any:
+    from search_engine_ray.functions.distinct import events_distinct_users
+
+    return events_distinct_users(sf_dir)
+
+
+def _hll_distinct(sf_dir: str) -> Any:
+    from search_engine_ray.functions.distinct import hll_distinct
+
+    return hll_distinct(sf_dir)
+
+
+def _customers_without_orders(sf_dir: str) -> Any:
+    from search_engine_ray.functions.relational import \
+        customers_without_orders
+
+    return customers_without_orders(sf_dir)
+
+
+def _orders_rollup(sf_dir: str) -> Any:
+    from search_engine_ray.functions.relational import orders_rollup
+
+    return orders_rollup(sf_dir)
+
+
+def _bigram_stats(sf_dir: str) -> Any:
+    from search_engine_ray.functions.cooccur import bigram_stats
+
+    return bigram_stats(sf_dir)
 
 
 def _stratified_sample(sf_dir: str) -> Any:
@@ -315,6 +377,14 @@ def oracle_sql() -> dict[str, str]:
     out["feature_hash_bow"] = features.feature_hash_bow_sql()
     out["events_json_stats"] = features.SQL_EVENTS_JSON_STATS
     out["events_range_join"] = relational.SQL_EVENTS_RANGE_JOIN
+    out["customers_without_orders"] = relational.SQL_CUSTOMERS_WITHOUT_ORDERS
+    out["orders_rollup"] = relational.SQL_ORDERS_ROLLUP
+    from search_engine_ray.functions import cooccur, distinct, windows
+    out["events_user_lag"] = windows.SQL_EVENTS_USER_LAG
+    out["events_rolling_count"] = windows.SQL_EVENTS_ROLLING
+    out["events_distinct_users"] = distinct.SQL_EVENTS_DISTINCT_USERS
+    out["hll_distinct"] = distinct.SQL_HLL_DISTINCT
+    out["bigram_stats"] = cooccur.SQL_BIGRAM_STATS
     from search_engine_ray.functions.textstats import (
         SQL_GOPHER_QUALITY, SQL_LANG_ID, SQL_QUALITY_SCORE,
         SQL_UNIGRAM_SURPRISAL)

@@ -866,3 +866,120 @@ SELECT t.step, t.n_users FROM (VALUES
   ('3_purchase', (SELECT COUNT(*) FROM p))) t(step, n_users)
 ORDER BY t.step
 """
+
+
+# ---------------------------------------------------------------------------
+def customers_without_orders(sf_dir: str, priority: str = "1-URGENT",
+                             num_partitions: int = 8,
+                             broadcast_gate: int = 4_000_000):
+    """ANTI-JOIN: customers with no order of the given priority — the
+    NOT EXISTS shape (degenerately empty for the unfiltered "no order
+    at all" question on the TPC-H-ish corpus, where every customer
+    orders).
+
+    The order side first collapses to its DISTINCT custkeys with a
+    per-batch filter + ``np.unique`` partial + one groupby, so whatever
+    plan follows never moves order-sized data.  Size gate (same pattern
+    as ``revenue_by_nation``): at or under ``broadcast_gate`` distinct
+    keys the sorted key array is ``ray.put`` once and each customer
+    batch drops hits via searchsorted — zero further shuffle; above it,
+    Ray Data's native ``left_anti`` partitioned hash join.  Both paths
+    pinned equal by tests/test_distinct.py.
+    """
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"])
+
+    def key_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("o_orderpriority"), priority))
+        k = np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(k, pa.int64())})
+
+    keys = (orders.map_batches(key_partial, batch_format="pyarrow")
+                  .groupby("o_custkey")
+                  .aggregate(Sum("o_custkey", alias_name="_one")))
+
+    cust_cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    cust = read_table(sf_dir, "customer", columns=cust_cols)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_name": b.column("c_name"),
+            "c_mktsegment": b.column("c_mktsegment"),
+            "acctbal_cents": pa.array(_cents(b.column("c_acctbal")
+                .to_numpy(zero_copy_only=False))),
+        })
+
+    n_keys = keys.count()
+    if n_keys <= broadcast_gate:
+        karr = np.sort(keys.to_pandas()["o_custkey"]
+                       .to_numpy(dtype=np.int64))
+        key_ref = ray.put(karr)
+
+        class Drop:
+            def __init__(self):
+                self.keys = ray.get(key_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                k = b.column("c_custkey").to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(self.keys, k), 0,
+                              max(len(self.keys) - 1, 0))
+                miss = (self.keys[pos] != k) if len(self.keys) else \
+                    np.ones(len(k), bool)
+                return project(b.filter(pa.array(miss)))
+
+        return cust.map_batches(Drop, batch_format="pyarrow",
+                                concurrency=2)
+    left = cust.join(keys, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=("c_custkey",), right_on=("o_custkey",))
+    return left.map_batches(project, batch_format="pyarrow")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+def orders_rollup(sf_dir: str):
+    """GROUPING-SETS rollup of order revenue: (year, month) → (year) →
+    grand total, sentinel -1 for rolled-up levels.
+
+    The distributed part is exactly ``orders_by_month`` (per-batch
+    partials, one small groupby); the coarser levels are derived from
+    that ≤ years×12-row result on the driver — re-aggregating a
+    bounded table instead of re-shuffling the fact table twice more.
+    """
+    fine = orders_by_month(sf_dir).to_pandas()
+    yr = (fine.groupby("year", as_index=False)[["n_orders", "total_cents"]]
+              .sum())
+    yr["month"] = -1
+    total = pd.DataFrame({
+        "year": [-1], "month": [-1],
+        "n_orders": [fine["n_orders"].sum()],
+        "total_cents": [fine["total_cents"].sum()],
+    })
+    out = pd.concat([fine, yr, total], ignore_index=True)[
+        ["year", "month", "n_orders", "total_cents"]]
+    out = out.astype({"year": "int64", "month": "int64",
+                      "n_orders": "int64", "total_cents": "int64"})
+    return out.sort_values(["year", "month"]).reset_index(drop=True)
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT CAST(COALESCE(year(o_orderdate), -1) AS BIGINT) AS year,
+       CAST(COALESCE(month(o_orderdate), -1) AS BIGINT) AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+ORDER BY year, month
+"""

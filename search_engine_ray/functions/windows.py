@@ -1,0 +1,102 @@
+"""Per-event window functions over the events table: LAG (gap to the
+previous event of the same user) and a time-RANGE rolling count — the
+row-preserving window shapes (SQL ``OVER (PARTITION BY … ORDER BY …)``)
+that Ray Data has no native operator for, expressed as one
+groupby(user_id) shuffle + vectorized in-group kernels.
+
+Scale notes (same partitioning assumption as sessions.py, documented
+there): one shuffle co-locates each user's history; within a group
+everything is numpy (one lexsort, one diff, two searchsorteds — no
+Python loop).  A pathological hot user would be split by
+(user_id, time-band) with a band-boundary carry exactly like
+``relational.events_asof_join``; at this corpus's per-user cardinality
+the plain key is the faster plan.  All outputs are integer µs so the
+DuckDB window-function oracles hash exactly; nullable ints are Arrow
+int64 + mask (→ float64/NaN in pandas, same as DuckDB's fetchdf) and
+ties on ts are broken by event_id on BOTH engines (ADVICE r4: never
+leave a tie engine-defined).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..pipelines.datasets import read_table
+
+ROLL_WINDOW_US = 10 * 60 * 1_000_000  # 10 min
+
+
+def _sorted_group(g: pa.Table):
+    """(event_id, user_id, ts_us) numpy views in (ts, event_id) order."""
+    us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ev = g.column("event_id").to_numpy(zero_copy_only=False)
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ev, us))  # deterministic on both engines
+    return ev[order], uid[order], us[order]
+
+
+def _lag_group(g: pa.Table) -> pa.Table:
+    ev, uid, us = _sorted_group(g)
+    gap = np.zeros(len(us), dtype=np.int64)
+    gap[1:] = np.diff(us)
+    first = np.zeros(len(us), dtype=bool)
+    if len(first):
+        first[0] = True  # LAG of the first row per user is NULL
+    return pa.table({
+        "event_id": pa.array(ev, pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "ts_us": pa.array(us, pa.int64()),
+        "gap_us": pa.array(gap, pa.int64(), mask=first),
+    })
+
+
+def events_user_lag(sf_dir: str):
+    """(event_id, user_id, ts_us, gap_us): per event, the µs elapsed
+    since the same user's previous event (NULL for the first)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(_lag_group,
+                                            batch_format="pyarrow")
+
+
+SQL_EVENTS_USER_LAG = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+SELECT event_id, user_id, ts_us,
+       ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS gap_us
+FROM e ORDER BY event_id
+"""
+
+
+def _rolling_group(g: pa.Table, window_us: int) -> pa.Table:
+    ev, uid, us = _sorted_group(g)
+    # SQL RANGE frame: peers with equal ts are all included, so the
+    # count is a pure function of the ts multiset — side='right' at ts,
+    # side='left' at ts - window reproduce it exactly.
+    n = (np.searchsorted(us, us, side="right")
+         - np.searchsorted(us, us - window_us, side="left"))
+    return pa.table({
+        "event_id": pa.array(ev, pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "ts_us": pa.array(us, pa.int64()),
+        "n_window": pa.array(n.astype(np.int64), pa.int64()),
+    })
+
+
+def events_rolling_count(sf_dir: str, window_us: int = ROLL_WINDOW_US):
+    """(event_id, user_id, ts_us, n_window): per event, how many of the
+    same user's events fall in [ts - window, ts] (RANGE-frame
+    semantics — equal-ts peers counted)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(
+        lambda g: _rolling_group(g, window_us), batch_format="pyarrow")
+
+
+SQL_EVENTS_ROLLING = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+SELECT event_id, user_id, ts_us,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING
+                            AND CURRENT ROW) AS n_window
+FROM e ORDER BY event_id
+"""

@@ -1,0 +1,106 @@
+"""Window / distinct / anti-join / co-occurrence operator tests beyond
+the oracle gate: HLL estimator accuracy, join-path pinning, brute-force
+cross-checks of the window kernels, and PMI derivability."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_hll_estimate_accuracy(ray_session, sf_dir):
+    """The HLL estimate from the register table lands within the
+    theoretical ~3σ band (σ ≈ 1.04/√m ≈ 6.5% at m=256) of the exact
+    distinct user count."""
+    import duckdb
+
+    from search_engine_ray.functions.distinct import (hll_distinct,
+                                                      hll_estimate)
+    regs = hll_distinct(sf_dir).column("max_rho").to_numpy(
+        zero_copy_only=False)
+    est = hll_estimate(regs)
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')").fetchone()[0]
+    assert abs(est - exact) / exact < 0.20, (est, exact)
+
+
+def test_hll_register_merge_associative(ray_session):
+    """Register partials merge by max — split input must equal whole."""
+    from search_engine_ray.functions.distinct import _hll_partial
+    ids = np.arange(10_000, dtype=np.int64) * 7919
+    whole = _hll_partial(ids)
+    merged = np.maximum(_hll_partial(ids[:3000]), _hll_partial(ids[3000:]))
+    assert np.array_equal(whole, merged)
+
+
+def test_anti_join_paths_pinned(ray_session, sf_dir):
+    """Broadcast-drop and native left_anti produce identical rows."""
+    from search_engine_ray.functions.relational import \
+        customers_without_orders
+    bc = _canon(customers_without_orders(sf_dir).to_pandas())
+    hj = _canon(customers_without_orders(sf_dir,
+                                         broadcast_gate=0).to_pandas())
+    pd.testing.assert_frame_equal(bc, hj, check_dtype=False)
+    assert len(bc) > 0  # non-degenerate fixture
+
+
+def test_rolling_count_brute_force(ray_session, sf_dir):
+    """The searchsorted RANGE-frame kernel equals the O(n²) definition
+    on one user's history."""
+    from search_engine_ray.functions.windows import (ROLL_WINDOW_US,
+                                                     events_rolling_count)
+    out = events_rolling_count(sf_dir).to_pandas()
+    uid = out["user_id"].iloc[0]
+    g = out[out["user_id"] == uid]
+    ts = g["ts_us"].to_numpy()
+    brute = [(np.sum((ts >= t - ROLL_WINDOW_US) & (ts <= t)))
+             for t in ts]
+    assert list(g["n_window"]) == brute
+
+
+def test_user_lag_first_event_null(ray_session, sf_dir):
+    """Exactly one NULL gap per user (the first event)."""
+    from search_engine_ray.functions.windows import events_user_lag
+    out = events_user_lag(sf_dir).to_pandas()
+    nulls = out[out["gap_us"].isna()]
+    assert len(nulls) == out["user_id"].nunique()
+    # and each user's null row is their min-ts event
+    first = out.sort_values(["user_id", "ts_us", "event_id"]) \
+               .groupby("user_id").head(1)
+    assert set(nulls["event_id"]) == set(first["event_id"])
+
+
+def test_bigram_pmi_derivable(ray_session, sf_dir):
+    """PMI computes from the returned integer counts alone and is
+    finite for every returned pair."""
+    from search_engine_ray.functions.cooccur import bigram_stats
+    from search_engine_ray.functions.docops import token_count
+    t = bigram_stats(sf_dir).to_pandas()
+    n = int(token_count(sf_dir).to_pandas()["n_tokens"].sum())
+    pmi = np.log(t["pair_cnt"] * n / (t["cnt1"] * t["cnt2"]))
+    assert np.isfinite(pmi).all()
+    assert (t["pair_cnt"] <= np.minimum(t["cnt1"], t["cnt2"])).all()
+
+
+def test_distinct_users_pair_packing_guard(ray_session):
+    """The (type_code, user) packing assumes user_id < 2^41 — assert
+    the kernel rejects nothing silently in range and stays exact on a
+    synthetic batch with duplicate users across types."""
+    import pyarrow as pa
+
+    from search_engine_ray.functions.distinct import events_distinct_users
+    # exercised end-to-end via the oracle test; here: the packed-key
+    # uniqueness math on a crafted batch near the boundary
+    uid = np.array([0, 1, (1 << 41) - 1, 1, 0], dtype=np.int64)
+    et = pa.array(["a", "a", "a", "b", "a"])
+    code = pa.compute.dictionary_encode(et)
+    idx = code.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    key = np.unique(idx * (1 << 41) + uid)
+    assert len(key) == 4  # (a,0),(a,1),(a,2^41-1),(b,1)
