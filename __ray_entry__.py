@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # no global sort), per-group top-k (two-level combiner)
         "stratified_sample": _stratified_sample,
         "length_quantiles": _length_quantiles,
+        "length_quantiles_by_lang": _length_quantiles_by_lang,
         "top_terms_per_lang": _top_terms_per_lang,
         # feature engineering: signed feature-hashed BoW (sparse long
         # form) + typed JSON field extraction over events.props
@@ -203,6 +204,13 @@ def _length_quantiles(sf_dir: str) -> Any:
     from search_engine_ray.functions.sampling import length_quantiles
 
     return length_quantiles(sf_dir)
+
+
+def _length_quantiles_by_lang(sf_dir: str) -> Any:
+    from search_engine_ray.functions.sampling import \
+        length_quantiles_by_lang
+
+    return length_quantiles_by_lang(sf_dir)
 
 
 def _top_terms_per_lang(sf_dir: str) -> Any:
@@ -372,6 +380,8 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_ray.functions import sampling
     out["stratified_sample"] = sampling.stratified_sample_sql()
     out["length_quantiles"] = sampling.length_quantiles_sql()
+    out["length_quantiles_by_lang"] = \
+        sampling.length_quantiles_by_lang_sql()
     out["top_terms_per_lang"] = sampling.top_terms_per_lang_sql()
     from search_engine_ray.functions import features
     out["feature_hash_bow"] = features.feature_hash_bow_sql()

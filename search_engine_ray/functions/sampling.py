@@ -218,3 +218,64 @@ r AS (SELECT lang, term, cf,
 SELECT lang, term, cf, rank FROM r WHERE rank <= {k}
 ORDER BY lang, rank
 """
+
+
+# ---------------------------------------------------------------------------
+def length_quantiles_by_lang(sf_dir: str,
+                             qs_bp: tuple[int, ...] = DEFAULT_QS_BP):
+    """Exact per-LANGUAGE token-length quantiles — ``length_quantiles``
+    generalized to grouped quantiles with the same no-global-sort
+    shape: (lang, length) histogram partials → one groupby over
+    distinct (lang, length) pairs (bounded by #langs × max doc length,
+    not corpus size) → per-lang cumsum on the driver.  Same integer
+    rank rule, so the SQL twin is hash-exact.  Returns
+    (lang, q_bp, n_tokens)."""
+    from .textstats import _tokens_per_doc
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, n_tok = _tokens_per_doc(b.column("text"))
+        t = pa.table({"lang": b.column("lang"),
+                      "n_tokens": pa.array(n_tok, pa.int64())})
+        g = t.group_by(["lang", "n_tokens"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_tokens", "cnt"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "n_tokens"])
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas().sort_values(["lang", "n_tokens"]))
+    out_l, out_q, out_v = [], [], []
+    for lang, g in hist.groupby("lang", sort=True):
+        v = g["n_tokens"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        for q in qs_bp:
+            need = (q * n + 9999) // 10000
+            i = int(np.searchsorted(cum, need))
+            if i < len(v):
+                out_l.append(lang)
+                out_q.append(q)
+                out_v.append(int(v[i]))
+    return pa.table({"lang": pa.array(out_l, pa.string()),
+                     "q_bp": pa.array(out_q, pa.int64()),
+                     "n_tokens": pa.array(out_v, pa.int64())})
+
+
+def length_quantiles_by_lang_sql(
+        qs_bp: tuple[int, ...] = DEFAULT_QS_BP) -> str:
+    vals = ", ".join(f"({q})" for q in qs_bp)
+    return f"""
+WITH lens AS (
+  SELECT lang, len(list_filter({_TOKS}, x -> x <> '')) AS v
+  FROM documents),
+cnt AS (SELECT lang, v, COUNT(*) AS c FROM lens GROUP BY lang, v),
+cum AS (SELECT lang, v,
+               SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cc
+        FROM cnt),
+n AS (SELECT lang, COUNT(*) AS n FROM lens GROUP BY lang)
+SELECT cum.lang, q.q_bp, MIN(cum.v) AS n_tokens
+FROM (VALUES {vals}) q(q_bp), n, cum
+WHERE cum.lang = n.lang
+  AND cum.cc >= (q.q_bp * n.n + 9999) // 10000
+GROUP BY cum.lang, q.q_bp ORDER BY cum.lang, q.q_bp
+"""
