@@ -340,12 +340,22 @@ def run_bench() -> dict:
 
     from search_engine_ray.functions import relational
 
+    from search_engine_ray.functions import cooccur, distinct, windows
+
     for name, fn in [("dedup_exact", docops.dedup_exact),
                      ("term_stats", docops.term_stats),
                      ("ann_topk", ann.ann_topk),
                      # distributed hash equi-join over the 150k-order /
                      # 15k-customer fact/dim pair at sf0.1
-                     ("revenue_by_nation", relational.revenue_by_nation)]:
+                     ("revenue_by_nation", relational.revenue_by_nation),
+                     # window functions over 100k events (one
+                     # groupby(user) shuffle + vectorized kernels)
+                     ("events_rolling_count",
+                      windows.events_rolling_count),
+                     # HLL register sketch (256-row shuffle)
+                     ("hll_distinct", distinct.hll_distinct),
+                     # bigram collocations (pair combiner + vocab probe)
+                     ("bigram_stats", cooccur.bigram_stats)]:
         t0 = time.time()
         out = fn(SF_DIR)
         if hasattr(out, "materialize"):
