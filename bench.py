@@ -68,8 +68,11 @@ def ensure_bench_pages(sf_dir: str, repl: int, body: int = 1) -> str:
 def run_bench() -> dict:
     import ray
 
+    # log_to_driver=False: raylet/worker warnings must never interleave
+    # with the single JSON line this script prints on stdout
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
