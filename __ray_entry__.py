@@ -129,7 +129,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # left_anti hash join; GROUPING-SETS rollup (distributed finest
         # level, driver-derived coarser levels over a bounded table)
         "customers_without_orders": _customers_without_orders,
+        # semi-join (EXISTS): same size-gated plan with left_semi
+        "parts_shipped": _parts_shipped,
         "orders_rollup": _orders_rollup,
+        # deterministic per-stratum uniform k-sample (reservoir
+        # replacement; two-level smallest-k combiner)
+        "per_lang_sample": _per_lang_sample,
         # bigram co-occurrence (PMI-ready collocations): two-level pair
         # combiner + broadcast-filtered unigram lookup
         "bigram_stats": _bigram_stats,
@@ -180,6 +185,18 @@ def _customers_without_orders(sf_dir: str) -> Any:
         customers_without_orders
 
     return customers_without_orders(sf_dir)
+
+
+def _parts_shipped(sf_dir: str) -> Any:
+    from search_engine_ray.functions.relational import parts_shipped
+
+    return parts_shipped(sf_dir)
+
+
+def _per_lang_sample(sf_dir: str) -> Any:
+    from search_engine_ray.functions.sampling import per_lang_sample
+
+    return per_lang_sample(sf_dir)
 
 
 def _orders_rollup(sf_dir: str) -> Any:
@@ -389,6 +406,8 @@ def oracle_sql() -> dict[str, str]:
     out["events_range_join"] = relational.SQL_EVENTS_RANGE_JOIN
     out["customers_without_orders"] = relational.SQL_CUSTOMERS_WITHOUT_ORDERS
     out["orders_rollup"] = relational.SQL_ORDERS_ROLLUP
+    out["parts_shipped"] = relational.SQL_PARTS_SHIPPED
+    out["per_lang_sample"] = sampling.per_lang_sample_sql()
     from search_engine_ray.functions import cooccur, distinct, windows
     out["events_user_lag"] = windows.SQL_EVENTS_USER_LAG
     out["events_rolling_count"] = windows.SQL_EVENTS_ROLLING

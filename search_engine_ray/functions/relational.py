@@ -983,3 +983,74 @@ FROM orders
 GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
 ORDER BY year, month
 """
+
+
+# ---------------------------------------------------------------------------
+def parts_shipped(sf_dir: str, min_qty: float = 50.0,
+                  num_partitions: int = 8,
+                  broadcast_gate: int = 4_000_000):
+    """SEMI-JOIN: parts with at least one BULK lineitem shipment
+    (quantity ≥ ``min_qty``) — the EXISTS shape, completing the join
+    family (inner = ``revenue_by_nation``, anti =
+    ``customers_without_orders``, as-of / range = the events joins).
+    The quantity filter keeps the fixture non-degenerate (~half the
+    parts qualify; unfiltered, every part ships).
+
+    Same plan skeleton as the anti-join: the lineitem side collapses to
+    DISTINCT partkeys first (per-batch ``np.unique`` + one groupby);
+    below ``broadcast_gate`` the sorted key array is broadcast and
+    probed by searchsorted (keep hits), above it Ray Data's native
+    ``left_semi`` partitioned hash join.  Paths pinned equal by
+    tests/test_distinct.py.
+    """
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity"])
+
+    def key_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("l_quantity"), min_qty))
+        k = np.unique(b.column("l_partkey").to_numpy(zero_copy_only=False))
+        return pa.table({"l_partkey": pa.array(k, pa.int64())})
+
+    keys = (li.map_batches(key_partial, batch_format="pyarrow")
+              .groupby("l_partkey")
+              .aggregate(Sum("l_partkey", alias_name="_one")))
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_name", "p_brand"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["p_partkey", "p_name", "p_brand"])
+
+    n_keys = keys.count()
+    if n_keys <= broadcast_gate:
+        karr = np.sort(keys.to_pandas()["l_partkey"]
+                       .to_numpy(dtype=np.int64))
+        key_ref = ray.put(karr)
+
+        class Keep:
+            def __init__(self):
+                self.keys = ray.get(key_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                k = b.column("p_partkey").to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(self.keys, k), 0,
+                              max(len(self.keys) - 1, 0))
+                hit = (self.keys[pos] == k) if len(self.keys) else \
+                    np.zeros(len(k), bool)
+                return project(b.filter(pa.array(hit)))
+
+        return part.map_batches(Keep, batch_format="pyarrow",
+                                concurrency=2)
+    semi = part.join(keys, join_type="left_semi",
+                     num_partitions=num_partitions,
+                     on=("p_partkey",), right_on=("l_partkey",))
+    return semi.map_batches(project, batch_format="pyarrow")
+
+
+SQL_PARTS_SHIPPED = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_quantity >= 50.0)
+ORDER BY p_partkey
+"""

@@ -279,3 +279,59 @@ WHERE cum.lang = n.lang
   AND cum.cc >= (q.q_bp * n.n + 9999) // 10000
 GROUP BY cum.lang, q.q_bp ORDER BY cum.lang, q.q_bp
 """
+
+
+# ---------------------------------------------------------------------------
+def per_lang_sample(sf_dir: str, k: int = 20):
+    """Uniform k-sample PER STRATUM (language), deterministic: the k
+    docs with the smallest LCG hash (ties by doc_id) in each language —
+    a reservoir-sample replacement whose output is a pure function of
+    the corpus, so resumed/re-run jobs agree row-for-row and the DuckDB
+    row_number() twin is hash-exact.
+
+    Two-level combiner (same shape as ``top_terms_per_lang``): each
+    batch keeps its own k smallest per lang, so the final per-lang
+    group holds ≤ k × n_blocks rows — never corpus-sized.  Returns
+    (lang, doc_id, h).
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def smallest_k(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _keep_hash(ids) if "h" not in t.column_names else \
+            t.column("h").to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, langs))
+        langs_s = langs[order]
+        starts = np.r_[0, np.flatnonzero(langs_s[1:] != langs_s[:-1]) + 1]
+        pos = np.arange(len(langs_s)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(langs_s)]))
+        keep = order[pos < k]
+        return pa.table({"lang": pa.array(langs[keep], pa.string()),
+                         "doc_id": pa.array(ids[keep], pa.int64()),
+                         "h": pa.array(
+                             h[keep].astype(np.int64), pa.int64())})
+
+    pruned = ds.map_batches(smallest_k, batch_format="pyarrow")
+
+    def final(df):
+        t = smallest_k(pa.Table.from_pandas(df, preserve_index=False))
+        return t.to_pandas()
+
+    return pruned.groupby("lang").map_groups(final)
+
+
+def per_lang_sample_sql(k: int = 20) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         (((doc_id % {_LCG_M}) * {_LCG_A} + {_LCG_C}) % {_LCG_M})
+           % 10000 AS h
+  FROM documents),
+r AS (SELECT lang, doc_id, h,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY h, doc_id) AS rn
+      FROM h)
+SELECT lang, doc_id, h FROM r WHERE rn <= {k}
+ORDER BY lang, h, doc_id
+"""

@@ -104,3 +104,27 @@ def test_distinct_users_pair_packing_guard(ray_session):
     idx = code.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     key = np.unique(idx * (1 << 41) + uid)
     assert len(key) == 4  # (a,0),(a,1),(a,2^41-1),(b,1)
+
+
+def test_semi_join_paths_pinned(ray_session, sf_dir):
+    """Broadcast-keep and native left_semi produce identical rows, and
+    the quantity filter keeps the fixture non-degenerate."""
+    from search_engine_ray.functions.relational import parts_shipped
+    bc = _canon(parts_shipped(sf_dir).to_pandas())
+    hj = _canon(parts_shipped(sf_dir, broadcast_gate=0).to_pandas())
+    pd.testing.assert_frame_equal(bc, hj, check_dtype=False)
+    import pyarrow.parquet as pq
+    n_parts = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    assert 0 < len(bc) < n_parts
+
+
+def test_per_lang_sample_uniform_and_bounded(ray_session, sf_dir):
+    """Exactly k rows per language (when the stratum has ≥ k docs), all
+    doc_ids distinct, and the selection is stable across runs."""
+    from search_engine_ray.functions.sampling import per_lang_sample
+    a = per_lang_sample(sf_dir, k=5).to_pandas()
+    b = per_lang_sample(sf_dir, k=5).to_pandas()
+    pd.testing.assert_frame_equal(_canon(a), _canon(b))
+    per = a.groupby("lang").size()
+    assert (per <= 5).all() and per.max() == 5
+    assert a["doc_id"].is_unique
