@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event_id tie-break pinned on both engines
         "events_user_lag": _events_user_lag,
         "events_rolling_count": _events_rolling_count,
+        "events_running_total": _events_running_total,
         # distinct counting: exact per-group COUNT(DISTINCT) via the
         # pair-dedup combiner + a deterministic HyperLogLog register
         # sketch (splitmix64) whose 256-row register table hash-matches
@@ -166,6 +167,12 @@ def _events_rolling_count(sf_dir: str) -> Any:
     from search_engine_ray.functions.windows import events_rolling_count
 
     return events_rolling_count(sf_dir)
+
+
+def _events_running_total(sf_dir: str) -> Any:
+    from search_engine_ray.functions.windows import events_running_total
+
+    return events_running_total(sf_dir)
 
 
 def _events_distinct_users(sf_dir: str) -> Any:
@@ -411,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_ray.functions import cooccur, distinct, windows
     out["events_user_lag"] = windows.SQL_EVENTS_USER_LAG
     out["events_rolling_count"] = windows.SQL_EVENTS_ROLLING
+    out["events_running_total"] = windows.SQL_EVENTS_RUNNING_TOTAL
     out["events_distinct_users"] = distinct.SQL_EVENTS_DISTINCT_USERS
     out["hll_distinct"] = distinct.SQL_HLL_DISTINCT
     out["bigram_stats"] = cooccur.SQL_BIGRAM_STATS

@@ -100,3 +100,41 @@ SELECT event_id, user_id, ts_us,
                             AND CURRENT ROW) AS n_window
 FROM e ORDER BY event_id
 """
+
+
+def _cumsum_group(g: pa.Table) -> pa.Table:
+    us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ev = g.column("event_id").to_numpy(zero_copy_only=False)
+    val = np.floor(g.column("value").to_numpy(zero_copy_only=False)
+                   * 1e6).astype(np.int64)
+    order = np.lexsort((ev, us))
+    return pa.table({
+        "event_id": pa.array(ev[order], pa.int64()),
+        "user_id": pa.array(g.column("user_id").to_numpy(
+            zero_copy_only=False)[order], pa.int64()),
+        "ts_us": pa.array(us[order], pa.int64()),
+        "running_micros": pa.array(np.cumsum(val[order]), pa.int64()),
+    })
+
+
+def events_running_total(sf_dir: str):
+    """(event_id, user_id, ts_us, running_micros): per event, the
+    cumulative value (integer µ-units) of the same user's events so
+    far — the ROWS UNBOUNDED PRECEDING window shape, completing the
+    family (LAG, RANGE rolling count, running sum)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    return ds.groupby("user_id").map_groups(_cumsum_group,
+                                            batch_format="pyarrow")
+
+
+SQL_EVENTS_RUNNING_TOTAL = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                  CAST(floor(value * 1e6) AS BIGINT) AS vmicros
+           FROM events)
+SELECT event_id, user_id, ts_us,
+       SUM(vmicros) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS running_micros
+FROM e ORDER BY event_id
+"""

@@ -128,3 +128,50 @@ def test_per_lang_sample_uniform_and_bounded(ray_session, sf_dir):
     per = a.groupby("lang").size()
     assert (per <= 5).all() and per.max() == 5
     assert a["doc_id"].is_unique
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    """A synthetic events table with a HOT USER: user 0 owns 50k of 60k
+    events (near-worst-case group skew for the window operators)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(7)
+    n_hot, n_cold = 50_000, 10_000
+    uid = np.r_[np.zeros(n_hot, np.int64),
+                rng.integers(1, 500, n_cold).astype(np.int64)]
+    ts = np.sort(rng.integers(1_600_000_000_000_000,
+                              1_600_864_000_000_000, n_hot + n_cold))
+    d = tmp_path_factory.mktemp("skew")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(uid)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(np.where(uid == 0, "hot", "cold")),
+        "value": pa.array(rng.random(len(uid)) * 10.0, pa.float64()),
+        "props": pa.array(["{}"] * len(uid)),
+    }), str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("op,sql", [
+    ("events_user_lag", "SQL_EVENTS_USER_LAG"),
+    ("events_rolling_count", "SQL_EVENTS_ROLLING"),
+    ("events_running_total", "SQL_EVENTS_RUNNING_TOTAL"),
+])
+def test_windows_hot_user_skew(ray_session, skew_dir, op, sql):
+    """The window kernels stay exact (vs DuckDB) when one user owns 83%
+    of all events — the documented single-group co-location assumption
+    holds under near-worst-case skew."""
+    import duckdb
+
+    from search_engine_ray.functions import windows
+    mine = getattr(windows, op)(skew_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{skew_dir}/events.parquet')")
+    ref = con.execute(getattr(windows, sql)).fetchdf()
+    a = _canon(mine)
+    b = _canon(ref)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=True)
