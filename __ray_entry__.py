@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BMP, PNG, animated GIF; only JPEG/mp4-class codecs stubbed)
         "media_image_features": _media_images,
         "media_audio_frames": _media_audio,
+        "media_audio_spectrogram": _media_spectrogram,
         "media_video_frames": _media_video,
         # link graph (F8 / anchor capture)
         "link_edges": _link_edges,
@@ -361,6 +362,13 @@ def _media_audio(sf_dir: str) -> Any:
 
     _, audio, _ = media_pipeline(sf_dir=sf_dir)
     return audio
+
+
+def _media_spectrogram(sf_dir: str) -> Any:
+    from search_engine_ray.functions.multimodal import \
+        media_audio_spectrogram
+
+    return media_audio_spectrogram(sf_dir=sf_dir)
 
 
 def _link_edges(sf_dir: str) -> Any:

@@ -735,3 +735,82 @@ def media_pipeline(n: int | None = None, sf_dir: str | None = None,
     video = media.map_batches(VideoFrameSample, batch_format="pyarrow",
                               batch_size=8, concurrency=concurrency)
     return images, audio, video
+
+
+class AudioSpectrogram(AudioFrameSample):
+    """Actor-pool stage: log-magnitude SPECTROGRAM features per frame —
+    the multimodal feature-extract op (brief: "decode /
+    feature-extract ... as actor-pool map_batches stages").
+
+    Real compute on real decoded PCM: the WAV payload is parsed by the
+    stdlib ``wave`` module (inherited ``_decode``), each clip is
+    reshaped into fixed-length frames and ONE vectorized ``np.fft.rfft``
+    call covers every frame of the clip (no per-frame Python loop);
+    magnitudes are pooled into ``n_bands`` log-spaced bins with one
+    ``np.add.reduceat``.  Output is long-form
+    (media_id, frame, band, log_energy) — integer milli-units so
+    downstream joins/aggregates shuffle ints, not floats.
+    """
+
+    def __init__(self, frame_ms: int = 100, n_bands: int = 16,
+                 sample_rate: int = 8000, strict: bool = False):
+        super().__init__(frame_ms=frame_ms, strict=strict)
+        self.n_bands = n_bands
+        self.frame_len = max(1, sample_rate * frame_ms // 1000)
+        # log-spaced band edges over the rfft bins of one frame,
+        # precomputed once per actor
+        n_bins = self.frame_len // 2 + 1
+        edges = np.unique(np.round(np.logspace(
+            0, np.log10(n_bins - 1), n_bands + 1)).astype(np.int64))
+        if len(edges) < n_bands + 1:  # tiny frames: fall back to linear
+            edges = np.linspace(0, n_bins - 1, n_bands + 1).astype(
+                np.int64)
+        self.edges = edges
+        self.n_out = len(edges) - 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        audio = batch.filter(pc.equal(batch.column("kind"), "audio"))
+        ids = audio.column("media_id").to_numpy(zero_copy_only=False)
+        payloads = audio.column("payload").to_pylist()
+        o_id, o_frame, o_band, o_energy = [], [], [], []
+        for i in range(len(ids)):
+            samples = self._decode(payloads[i]).astype(np.float64)
+            n_frames = max(1, len(samples) // self.frame_len)
+            use = samples[:n_frames * self.frame_len]
+            frames = use.reshape(n_frames, -1)
+            mag = np.abs(np.fft.rfft(frames, axis=1))
+            # pool rfft bins into log-spaced bands; reduceat per row
+            # via one flat call on the transposed layout
+            pooled = np.add.reduceat(mag, self.edges[:-1], axis=1)
+            logm = np.round(np.log1p(pooled) * 1000.0).astype(np.int64)
+            nb = self.n_out
+            o_id.append(np.repeat(np.full(n_frames, ids[i],
+                                          dtype=np.int64), nb))
+            o_frame.append(np.repeat(np.arange(n_frames,
+                                               dtype=np.int32), nb))
+            o_band.append(np.tile(np.arange(nb, dtype=np.int32),
+                                  n_frames))
+            o_energy.append(logm.ravel())
+        empty = not o_id
+        return pa.table({
+            "media_id": pa.array(
+                np.concatenate(o_id) if not empty else [], pa.int64()),
+            "frame": pa.array(
+                np.concatenate(o_frame) if not empty else [], pa.int32()),
+            "band": pa.array(
+                np.concatenate(o_band) if not empty else [], pa.int32()),
+            "log_energy_milli": pa.array(
+                np.concatenate(o_energy) if not empty else [],
+                pa.int64()),
+        })
+
+
+def media_audio_spectrogram(sf_dir: str | None = None,
+                            n: int | None = None):
+    """(media_id, frame, band, log_energy_milli): log-spectrogram
+    features for every audio row of the sf-scaled media corpus."""
+    if n is None:
+        n = media_rows_for_sf(sf_dir) if sf_dir else 64
+    media = synth_media_dataset(n)
+    return media.map_batches(AudioSpectrogram, batch_format="pyarrow",
+                             batch_size=8, concurrency=4)

@@ -175,3 +175,40 @@ def test_windows_hot_user_skew(ray_session, skew_dir, op, sql):
     b = _canon(ref)
     pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                   check_exact=True)
+
+
+def test_audio_spectrogram_peak_band(ray_session):
+    """A pure 440 Hz tone's spectral peak lands in the band containing
+    the 440 Hz rfft bin — the FFT path computes real spectra, not
+    byte-noise."""
+    import io
+    import wave
+
+    import pyarrow as pa
+
+    from search_engine_ray.functions.multimodal import AudioSpectrogram
+    rate, dur_ms, freq = 8000, 400, 440.0
+    n = rate * dur_ms // 1000
+    t = np.arange(n, dtype=np.float64)
+    samples = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    batch = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["audio"]),
+        "payload": pa.array([buf.getvalue()], pa.binary()),
+        "duration_ms": pa.array([dur_ms], pa.int64()),
+    })
+    stage = AudioSpectrogram(frame_ms=100, sample_rate=rate)
+    out = stage(batch).to_pandas()
+    assert out["frame"].nunique() == 4  # 400 ms / 100 ms windows
+    peak_bin = int(round(freq * stage.frame_len / rate))
+    want_band = int(np.searchsorted(stage.edges, peak_bin,
+                                    side="right")) - 1
+    for _, g in out.groupby("frame"):
+        got = int(g.loc[g["log_energy_milli"].idxmax(), "band"])
+        assert got == want_band, (got, want_band)
