@@ -65,27 +65,44 @@ def bigram_stats(sf_dir: str, k: int = TOP_K):
     pairs = (ds.map_batches(_pair_partial, batch_format="pyarrow")
                .groupby(["w1", "w2"])
                .aggregate(Sum("pair_cnt", alias_name="pair_cnt")))
-    top = _topk_pairs(
-        pa.Table.from_pandas(
-            pairs.map_batches(lambda b: _topk_pairs(b, k),
-                              batch_format="pyarrow").to_pandas(),
-            preserve_index=False), k)
+    tp = pairs.map_batches(lambda b: _topk_pairs(b, k),
+                           batch_format="pyarrow").to_pandas()
+    if len(tp):
+        top = _topk_pairs(pa.Table.from_pandas(tp, preserve_index=False),
+                          k)
+    else:  # empty output drops the schema — type the empty explicitly
+        top = pa.table({"w1": pa.array([], pa.string()),
+                        "w2": pa.array([], pa.string()),
+                        "pair_cnt": pa.array([], pa.int64())})
+
+    if top.num_rows == 0:  # e.g. every doc has ≤ 1 token: no bigrams
+        return pa.table({
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "pair_cnt": pa.array([], pa.int64()),
+            "cnt1": pa.array([], pa.int64()),
+            "cnt2": pa.array([], pa.int64()),
+        })
 
     # unigram counts for the ≤ 2k distinct winner terms: broadcast the
     # sorted term list, filter the distributed vocab aggregate to it
+    # (only the ref is captured — resolve it ONCE per batch so the
+    # array ships via the object store, not the pickled closure)
     need = np.unique(np.concatenate([
         top.column("w1").to_numpy(zero_copy_only=False),
         top.column("w2").to_numpy(zero_copy_only=False)]))
     need_ref = ray.put(need)
+    del need
 
     def uni_partial(b: pa.Table) -> pa.Table:
+        need_arr = ray.get(need_ref)
         flat, _ = _tokens_per_doc(b.column("text"))
         t = pa.table({"w": flat})
         g = t.group_by("w").aggregate([([], "count_all")])
         w = g.column("w").to_numpy(zero_copy_only=False)
-        sel = np.searchsorted(ray.get(need_ref), w)
-        np.clip(sel, 0, len(need) - 1, out=sel)
-        hit = ray.get(need_ref)[sel] == w
+        sel = np.clip(np.searchsorted(need_arr, w), 0,
+                      len(need_arr) - 1)
+        hit = need_arr[sel] == w
         return pa.table({"w": g.column("w").filter(pa.array(hit)),
                          "cnt": g.column("count_all").cast(
                              pa.int64()).filter(pa.array(hit))})

@@ -53,7 +53,13 @@ def events_distinct_users(sf_dir: str):
         code = pc.dictionary_encode(
             et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et)
         idx = code.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        # pack (type_code, user) — type cardinality is tiny, user < 2^40
+        # pack (type_code, user) — loud guard instead of silent key
+        # aliasing for ids outside the documented [0, 2^41) range
+        if len(uid) and (uid.min() < 0 or uid.max() >= (1 << 41)):
+            raise ValueError(
+                "events_distinct_users: user_id outside [0, 2^41) — "
+                "the packed (type, user) key would alias; widen the "
+                "packing or group by both columns directly")
         key = np.unique(idx * (1 << 41) + uid)
         return pa.table({
             "event_type": code.dictionary.take(

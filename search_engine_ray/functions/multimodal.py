@@ -753,20 +753,46 @@ class AudioSpectrogram(AudioFrameSample):
     """
 
     def __init__(self, frame_ms: int = 100, n_bands: int = 16,
-                 sample_rate: int = 8000, strict: bool = False):
+                 strict: bool = False):
         super().__init__(frame_ms=frame_ms, strict=strict)
         self.n_bands = n_bands
-        self.frame_len = max(1, sample_rate * frame_ms // 1000)
-        # log-spaced band edges over the rfft bins of one frame,
-        # precomputed once per actor
-        n_bins = self.frame_len // 2 + 1
-        edges = np.unique(np.round(np.logspace(
-            0, np.log10(n_bins - 1), n_bands + 1)).astype(np.int64))
-        if len(edges) < n_bands + 1:  # tiny frames: fall back to linear
-            edges = np.linspace(0, n_bins - 1, n_bands + 1).astype(
-                np.int64)
-        self.edges = edges
-        self.n_out = len(edges) - 1
+        self._edge_cache: dict[int, np.ndarray] = {}
+
+    def _decode_with_rate(self, payload: bytes) -> tuple[np.ndarray, int]:
+        """(PCM16 samples, sample rate) — the rate comes from the WAV
+        header, so frame length always means ``frame_ms`` of REAL time
+        (the byte-fallback fake assumes 8 kHz)."""
+        if payload[:4] == b"RIFF":
+            import io
+            with self._wave.open(io.BytesIO(payload), "rb") as w:
+                rate = w.getframerate()
+                frames = w.readframes(w.getnframes())
+            return np.frombuffer(frames, dtype="<i2").astype(np.int64), rate
+        return self._decode(payload), 8000
+
+    def _edges(self, frame_len: int) -> np.ndarray:
+        """Strictly-increasing log-spaced rfft-bin edges for one frame
+        length, cached per actor.  The strict-monotonicity pass (max
+        with index+1) keeps low bands one-bin wide where rounding would
+        collapse geomspace edges, so the spacing is genuinely
+        logarithmic at the top instead of silently falling back to
+        linear."""
+        got = self._edge_cache.get(frame_len)
+        if got is not None:
+            return got
+        n_bins = frame_len // 2 + 1
+        if n_bins < 3:  # degenerate 1-2-bin frames: single band
+            edges = np.array([0, n_bins - 1], dtype=np.int64)
+            self._edge_cache[frame_len] = edges
+            return edges
+        k = min(self.n_bands, max(1, n_bins - 1))
+        raw = np.round(np.geomspace(1, n_bins - 1, k + 1)).astype(
+            np.int64)
+        idx = np.arange(k + 1, dtype=np.int64)
+        edges = np.maximum.accumulate(raw - idx) + idx  # strict increase
+        edges = np.minimum(edges, n_bins - 1)
+        self._edge_cache[frame_len] = edges
+        return edges
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         audio = batch.filter(pc.equal(batch.column("kind"), "audio"))
@@ -774,16 +800,21 @@ class AudioSpectrogram(AudioFrameSample):
         payloads = audio.column("payload").to_pylist()
         o_id, o_frame, o_band, o_energy = [], [], [], []
         for i in range(len(ids)):
-            samples = self._decode(payloads[i]).astype(np.float64)
-            n_frames = max(1, len(samples) // self.frame_len)
-            use = samples[:n_frames * self.frame_len]
+            samples, rate = self._decode_with_rate(payloads[i])
+            if len(samples) == 0:
+                continue
+            samples = samples.astype(np.float64)
+            frame_len = max(1, min(rate * self.frame_ms // 1000,
+                                   len(samples)))
+            edges = self._edges(frame_len)
+            n_frames = len(samples) // frame_len
+            use = samples[:n_frames * frame_len]
             frames = use.reshape(n_frames, -1)
             mag = np.abs(np.fft.rfft(frames, axis=1))
-            # pool rfft bins into log-spaced bands; reduceat per row
-            # via one flat call on the transposed layout
-            pooled = np.add.reduceat(mag, self.edges[:-1], axis=1)
+            # pool rfft bins into log-spaced bands, one reduceat call
+            pooled = np.add.reduceat(mag, edges[:-1], axis=1)
             logm = np.round(np.log1p(pooled) * 1000.0).astype(np.int64)
-            nb = self.n_out
+            nb = len(edges) - 1
             o_id.append(np.repeat(np.full(n_frames, ids[i],
                                           dtype=np.int64), nb))
             o_frame.append(np.repeat(np.arange(n_frames,

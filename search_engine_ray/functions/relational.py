@@ -894,9 +894,12 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT",
         k = np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))
         return pa.table({"o_custkey": pa.array(k, pa.int64())})
 
+    # materialize: count() on a derived dataset would otherwise run
+    # the scan+shuffle once for the count and AGAIN for the probe/join
     keys = (orders.map_batches(key_partial, batch_format="pyarrow")
                   .groupby("o_custkey")
-                  .aggregate(Sum("o_custkey", alias_name="_one")))
+                  .aggregate(Sum("o_custkey", alias_name="_one"))
+                  .materialize())
 
     cust_cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
     cust = read_table(sf_dir, "customer", columns=cust_cols)
@@ -1011,9 +1014,12 @@ def parts_shipped(sf_dir: str, min_qty: float = 50.0,
         k = np.unique(b.column("l_partkey").to_numpy(zero_copy_only=False))
         return pa.table({"l_partkey": pa.array(k, pa.int64())})
 
+    # materialize: see customers_without_orders — avoids paying the
+    # lineitem scan+shuffle twice (count, then probe/join)
     keys = (li.map_batches(key_partial, batch_format="pyarrow")
               .groupby("l_partkey")
-              .aggregate(Sum("l_partkey", alias_name="_one")))
+              .aggregate(Sum("l_partkey", alias_name="_one"))
+              .materialize())
 
     part = read_table(sf_dir, "part",
                       columns=["p_partkey", "p_name", "p_brand"])

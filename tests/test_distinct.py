@@ -203,12 +203,66 @@ def test_audio_spectrogram_peak_band(ray_session):
         "payload": pa.array([buf.getvalue()], pa.binary()),
         "duration_ms": pa.array([dur_ms], pa.int64()),
     })
-    stage = AudioSpectrogram(frame_ms=100, sample_rate=rate)
+    stage = AudioSpectrogram(frame_ms=100)
     out = stage(batch).to_pandas()
     assert out["frame"].nunique() == 4  # 400 ms / 100 ms windows
-    peak_bin = int(round(freq * stage.frame_len / rate))
-    want_band = int(np.searchsorted(stage.edges, peak_bin,
+    frame_len = rate * 100 // 1000
+    edges = stage._edges(frame_len)
+    peak_bin = int(round(freq * frame_len / rate))
+    want_band = int(np.searchsorted(edges, peak_bin,
                                     side="right")) - 1
     for _, g in out.groupby("frame"):
         got = int(g.loc[g["log_energy_milli"].idxmax(), "band"])
         assert got == want_band, (got, want_band)
+
+
+def test_audio_spectrogram_short_and_fallback_clips(ray_session):
+    """Clips shorter than one frame and non-WAV byte-fallback payloads
+    produce bounded output instead of crashing; a zero-sample clip is
+    skipped."""
+    import io
+    import wave
+
+    import pyarrow as pa
+
+    from search_engine_ray.functions.multimodal import AudioSpectrogram
+
+    def wav(n, rate=16000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(np.arange(n, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    batch = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["audio"] * 3),
+        "payload": pa.array([wav(50), b"not-a-wav-payload", wav(0)],
+                            pa.binary()),
+        "duration_ms": pa.array([3, 2, 0], pa.int64()),
+    })
+    out = AudioSpectrogram(frame_ms=100)(batch).to_pandas()
+    assert set(out["media_id"]) == {1, 2}  # empty clip skipped
+    assert (out["band"] >= 0).all()
+
+
+def test_bigram_stats_no_pairs(ray_session, tmp_path):
+    """A corpus of single-token documents yields an empty (but
+    correctly-typed) bigram table instead of crashing in the unigram
+    probe."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.functions.cooccur import bigram_stats
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(6), pa.int64()),
+        "text": pa.array(["one", "two", "three", " four ", "", "five"]),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["t"] * 6),
+        "n_chars": pa.array([3] * 6, pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = bigram_stats(str(tmp_path)).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["w1", "w2", "pair_cnt", "cnt1", "cnt2"]
