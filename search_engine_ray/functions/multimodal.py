@@ -842,6 +842,13 @@ def media_audio_spectrogram(sf_dir: str | None = None,
     features for every audio row of the sf-scaled media corpus."""
     if n is None:
         n = media_rows_for_sf(sf_dir) if sf_dir else 64
+    # size the actor pool BELOW the node's CPU count (like
+    # media_pipeline): a pool that reserves every CPU starves the
+    # upstream synthesis task and the pipeline deadlocks on a small
+    # ray.init (observed at num_cpus=4 with concurrency=4)
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    concurrency = max(2, min(8, cpus // 2))
     media = synth_media_dataset(n)
     return media.map_batches(AudioSpectrogram, batch_format="pyarrow",
-                             batch_size=8, concurrency=4)
+                             batch_size=8, concurrency=concurrency)
