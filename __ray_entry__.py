@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram co-occurrence (PMI-ready collocations): two-level pair
         # combiner + broadcast-filtered unigram lookup
         "bigram_stats": _bigram_stats,
+        "trigram_stats": _trigram_stats,
         # flagship: index build + BM25 serving over the FULL reference
         # query set (phrases, synonyms, stopword cases, NOT) — now with
         # a hash-exact DuckDB twin generated from the compiled plans
@@ -217,6 +218,12 @@ def _bigram_stats(sf_dir: str) -> Any:
     from search_engine_ray.functions.cooccur import bigram_stats
 
     return bigram_stats(sf_dir)
+
+
+def _trigram_stats(sf_dir: str) -> Any:
+    from search_engine_ray.functions.cooccur import trigram_stats
+
+    return trigram_stats(sf_dir)
 
 
 def _stratified_sample(sf_dir: str) -> Any:
@@ -430,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_distinct_users"] = distinct.SQL_EVENTS_DISTINCT_USERS
     out["hll_distinct"] = distinct.SQL_HLL_DISTINCT
     out["bigram_stats"] = cooccur.SQL_BIGRAM_STATS
+    out["trigram_stats"] = cooccur.SQL_TRIGRAM_STATS
     from search_engine_ray.functions.textstats import (
         SQL_GOPHER_QUALITY, SQL_LANG_ID, SQL_QUALITY_SCORE,
         SQL_UNIGRAM_SURPRISAL)

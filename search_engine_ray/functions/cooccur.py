@@ -144,3 +144,68 @@ ORDER BY p.pair_cnt DESC, p.w1, p.w2
 
 
 SQL_BIGRAM_STATS = bigram_stats_sql()
+
+
+def _tri_partial(b: pa.Table) -> pa.Table:
+    flat, n_tok = _tokens_per_doc(b.column("text"))
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "w3": pa.array([], pa.string()),
+                      "tri_cnt": pa.array([], pa.int64())})
+    if len(flat) == 0:
+        return empty
+    # positions whose doc still has ≥ 2 more tokens after them
+    ends = np.cumsum(n_tok)
+    starts = ends - n_tok
+    pos_in_doc = np.arange(len(flat)) - np.repeat(starts, n_tok)
+    keep = pos_in_doc < np.repeat(n_tok, n_tok) - 2
+    idx = np.flatnonzero(keep)
+    if not len(idx):
+        return empty
+    t = pa.table({"w1": flat.take(pa.array(idx)),
+                  "w2": flat.take(pa.array(idx + 1)),
+                  "w3": flat.take(pa.array(idx + 2))})
+    g = t.group_by(["w1", "w2", "w3"]).aggregate([([], "count_all")])
+    return g.rename_columns(["w1", "w2", "w3", "tri_cnt"])
+
+
+def _topk_tris(t: pa.Table, k: int) -> pa.Table:
+    idx = pc.sort_indices(t, sort_keys=[("tri_cnt", "descending"),
+                                        ("w1", "ascending"),
+                                        ("w2", "ascending"),
+                                        ("w3", "ascending")])
+    return t.take(idx[:k])
+
+
+def trigram_stats(sf_dir: str, k: int = TOP_K):
+    """(w1, w2, w3, tri_cnt): global top-k consecutive token TRIPLES by
+    count (ties: w1, w2, w3 asc) — the n=3 extension of
+    ``bigram_stats``, same two-level combiner shape."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    tris = (ds.map_batches(_tri_partial, batch_format="pyarrow")
+              .groupby(["w1", "w2", "w3"])
+              .aggregate(Sum("tri_cnt", alias_name="tri_cnt")))
+    tp = tris.map_batches(lambda b: _topk_tris(b, k),
+                          batch_format="pyarrow").to_pandas()
+    if not len(tp):
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "w3": pa.array([], pa.string()),
+                         "tri_cnt": pa.array([], pa.int64())})
+    return _topk_tris(pa.Table.from_pandas(tp, preserve_index=False), k)
+
+
+def trigram_stats_sql(k: int = TOP_K) -> str:
+    return rf"""
+WITH t AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                w -> w <> '') AS toks FROM documents),
+b AS (SELECT unnest(toks[1:len(toks)-2]) AS w1,
+             unnest(toks[2:len(toks)-1]) AS w2,
+             unnest(toks[3:len(toks)]) AS w3 FROM t)
+SELECT w1, w2, w3, COUNT(*) AS tri_cnt FROM b GROUP BY w1, w2, w3
+ORDER BY tri_cnt DESC, w1, w2, w3 LIMIT {k}
+"""
+
+
+SQL_TRIGRAM_STATS = trigram_stats_sql()
