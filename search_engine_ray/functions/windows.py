@@ -7,10 +7,12 @@ groupby(user_id) shuffle + vectorized in-group kernels.
 Scale notes (same partitioning assumption as sessions.py, documented
 there): one shuffle co-locates each user's history; within a group
 everything is numpy (one lexsort, one diff, two searchsorteds — no
-Python loop).  A pathological hot user would be split by
-(user_id, time-band) with a band-boundary carry exactly like
-``relational.events_asof_join``; at this corpus's per-user cardinality
-the plain key is the faster plan.  All outputs are integer µs so the
+Python loop).  For pathological hot users the scale path is BUILT, not
+just documented: ``events_running_total_banded`` splits groups by
+(user_id, time-band) and reconciles bands with a per-user exclusive
+prefix sum over band TOTALS (summary-sized, never event-sized),
+pinned row-identical to the plain plan on an 83%%-hot-user fixture; at
+this corpus's per-user cardinality the plain key is the faster plan.  All outputs are integer µs so the
 DuckDB window-function oracles hash exactly; nullable ints are Arrow
 int64 + mask (→ float64/NaN in pandas, same as DuckDB's fetchdf) and
 ties on ts are broken by event_id on BOTH engines (ADVICE r4: never
@@ -138,3 +140,135 @@ SELECT event_id, user_id, ts_us,
                           ROWS UNBOUNDED PRECEDING) AS running_micros
 FROM e ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+BAND_US = 6 * 60 * 60 * 1_000_000  # 6 h
+
+
+def events_running_total_banded(sf_dir: str, band_us: int = BAND_US,
+                                num_partitions: int = 8,
+                                broadcast_gate: int = 4_000_000):
+    """Skew-proof running total: the scale path for the hot-user case
+    the plain ``events_running_total`` documents away.
+
+    Instead of co-locating each user's ENTIRE history (unbounded under
+    skew), events group by (user, time-band): each band computes its
+    in-band cumulative sums independently, band TOTALS (one row per
+    nonempty (user, band)) take a per-user exclusive prefix sum — a
+    tiny second groupby over summaries, never events — and the
+    resulting offsets are added back per batch.  Group size is bounded
+    by events-per-user-per-band regardless of how hot a user is; total
+    shuffle = events once + two summary-sized exchanges.  Offsets are
+    applied via a broadcast merge below ``broadcast_gate`` distinct
+    (user, band) pairs and Ray Data's native two-key hash join above
+    it.  Pinned row-identical to the plain plan (and to the DuckDB
+    window oracle) in tests/test_distinct.py, including on the 83%%-
+    hot-user skew fixture.
+    """
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = np.floor(b.column("value").to_numpy(zero_copy_only=False)
+                       * 1e6).astype(np.int64)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "band": pa.array(us // band_us, pa.int64()),
+            "ts_us": pa.array(us, pa.int64()),
+            "vmicros": pa.array(val, pa.int64()),
+        })
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+
+    def in_band(g: pa.Table) -> pa.Table:
+        us = g.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("vmicros").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, us))
+        return pa.table({
+            "event_id": pa.array(ev[order], pa.int64()),
+            "user_id": g.column("user_id").take(pa.array(order)),
+            "band": g.column("band").take(pa.array(order)),
+            "ts_us": pa.array(us[order], pa.int64()),
+            "in_cum": pa.array(np.cumsum(val[order]), pa.int64()),
+        })
+
+    inband = base.groupby(["user_id", "band"]).map_groups(
+        in_band, batch_format="pyarrow")
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"),
+                      "band": b.column("band"),
+                      "tot": b.column("vmicros")})
+        g = t.group_by(["user_id", "band"]).aggregate([("tot", "sum")])
+        return g.rename_columns(["user_id", "band", "tot"])
+
+    totals = (base.map_batches(tot_partial, batch_format="pyarrow")
+                  .groupby(["user_id", "band"])
+                  .aggregate(Sum("tot", alias_name="tot")))
+
+    def prefix(g: pa.Table) -> pa.Table:
+        bands = g.column("band").to_numpy(zero_copy_only=False)
+        tot = g.column("tot").to_numpy(zero_copy_only=False)
+        order = np.argsort(bands)
+        off = np.zeros(len(tot), dtype=np.int64)
+        off[1:] = np.cumsum(tot[order])[:-1]  # exclusive prefix
+        return pa.table({
+            "user_id": g.column("user_id").take(pa.array(order)),
+            "band": pa.array(bands[order], pa.int64()),
+            "offset": pa.array(off, pa.int64()),
+        })
+
+    # materialize: count() on a derived dataset would otherwise run the
+    # summary aggregation twice (count, then broadcast/join)
+    offsets = totals.groupby("user_id").map_groups(
+        prefix, batch_format="pyarrow").materialize()
+
+    n_off = offsets.count()
+    if n_off <= broadcast_gate:
+        off_df = offsets.to_pandas()
+        off_ref = ray.put(off_df)
+
+        class AddOffset:
+            def __init__(self):
+                self.off = ray.get(off_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                df = b.to_pandas()
+                m = df.merge(self.off, on=["user_id", "band"],
+                             how="left")
+                return pa.table({
+                    "event_id": pa.array(m["event_id"], pa.int64()),
+                    "user_id": pa.array(m["user_id"], pa.int64()),
+                    "ts_us": pa.array(m["ts_us"], pa.int64()),
+                    "running_micros": pa.array(
+                        m["in_cum"] + m["offset"].fillna(0).astype(
+                            "int64"), pa.int64()),
+                })
+
+        return inband.map_batches(AddOffset, batch_format="pyarrow",
+                                  concurrency=2)
+
+    joined = inband.join(offsets, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("user_id", "band"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        run = (b.column("in_cum").to_numpy(zero_copy_only=False)
+               + b.column("offset").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts_us"),
+            "running_micros": pa.array(run, pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -266,3 +266,19 @@ def test_bigram_stats_no_pairs(ray_session, tmp_path):
     out = bigram_stats(str(tmp_path)).to_pandas()
     assert len(out) == 0
     assert list(out.columns) == ["w1", "w2", "pair_cnt", "cnt1", "cnt2"]
+
+
+@pytest.mark.parametrize("gate", [4_000_000, 0])
+def test_running_total_banded_pinned(ray_session, sf_dir, skew_dir, gate):
+    """The skew-proof banded plan (in-band cumsum + per-user band-offset
+    prefix) is row-identical to the plain single-group plan on both the
+    sf fixture and the 83%-hot-user corpus, on BOTH the broadcast and
+    native-join offset paths."""
+    from search_engine_ray.functions.windows import (
+        events_running_total, events_running_total_banded)
+    for d in (sf_dir, skew_dir):
+        plain = _canon(events_running_total(d).to_pandas())
+        banded = _canon(events_running_total_banded(
+            d, broadcast_gate=gate).to_pandas())
+        pd.testing.assert_frame_equal(plain, banded, check_dtype=False,
+                                      check_exact=True)
