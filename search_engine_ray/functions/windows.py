@@ -11,7 +11,7 @@ Python loop).  For pathological hot users the scale path is BUILT, not
 just documented: ``events_running_total_banded`` splits groups by
 (user_id, time-band) and reconciles bands with a per-user exclusive
 prefix sum over band TOTALS (summary-sized, never event-sized),
-pinned row-identical to the plain plan on an 83%%-hot-user fixture; at
+pinned row-identical to the plain plan on an 83%-hot-user fixture; at
 this corpus's per-user cardinality the plain key is the faster plan.  All outputs are integer µs so the
 DuckDB window-function oracles hash exactly; nullable ints are Arrow
 int64 + mask (→ float64/NaN in pandas, same as DuckDB's fetchdf) and
@@ -163,7 +163,7 @@ def events_running_total_banded(sf_dir: str, band_us: int = BAND_US,
     applied via a broadcast merge below ``broadcast_gate`` distinct
     (user, band) pairs and Ray Data's native two-key hash join above
     it.  Pinned row-identical to the plain plan (and to the DuckDB
-    window oracle) in tests/test_distinct.py, including on the 83%%-
+    window oracle) in tests/test_distinct.py, including on the 83%-
     hot-user skew fixture.
     """
     import pandas as pd
