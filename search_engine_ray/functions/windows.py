@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..pipelines.datasets import read_table
 
@@ -269,6 +270,143 @@ def events_running_total_banded(sf_dir: str, band_us: int = BAND_US,
             "user_id": b.column("user_id"),
             "ts_us": b.column("ts_us"),
             "running_micros": pa.array(run, pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def events_user_lag_banded(sf_dir: str, band_us: int = BAND_US,
+                           num_partitions: int = 8,
+                           broadcast_gate: int = 4_000_000):
+    """Skew-proof LAG: (user, time-band) groups + a per-user pass over
+    band SUMMARIES that hands every band its previous NONEMPTY band's
+    last timestamp (empty bands simply don't appear in the summary, so
+    there is no carry-chain problem).  Each band computes its interior
+    gaps locally; only its first event needs the carried timestamp.
+    Bounded groups under any user heat; shuffle = events once + two
+    summary-sized exchanges.  Pinned row-identical to the plain plan in
+    tests/test_distinct.py, including the hot-user fixture and its NULL
+    first-event rows.
+    """
+    import ray
+    from ray.data.aggregate import Max
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "band": pa.array(us // band_us, pa.int64()),
+            "ts_us": pa.array(us, pa.int64()),
+        })
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+
+    def in_band(g: pa.Table) -> pa.Table:
+        us = g.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, us))
+        us, ev = us[order], ev[order]
+        gap = np.zeros(len(us), dtype=np.int64)
+        gap[1:] = np.diff(us)
+        first = np.zeros(len(us), dtype=bool)
+        if len(first):
+            first[0] = True  # needs the carried prev-band last ts
+        return pa.table({
+            "event_id": pa.array(ev, pa.int64()),
+            "user_id": g.column("user_id").take(pa.array(order)),
+            "band": g.column("band").take(pa.array(order)),
+            "ts_us": pa.array(us, pa.int64()),
+            "in_gap": pa.array(gap, pa.int64()),
+            "is_first": pa.array(first),
+        })
+
+    inband = base.groupby(["user_id", "band"]).map_groups(
+        in_band, batch_format="pyarrow")
+
+    def summary_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"),
+                      "band": b.column("band"),
+                      "last_ts": b.column("ts_us")})
+        g = t.group_by(["user_id", "band"]).aggregate([("last_ts", "max")])
+        return g.rename_columns(["user_id", "band", "last_ts"])
+
+    summaries = (base.map_batches(summary_partial, batch_format="pyarrow")
+                     .groupby(["user_id", "band"])
+                     .aggregate(Max("last_ts", alias_name="last_ts")))
+
+    def carry(g: pa.Table) -> pa.Table:
+        bands = g.column("band").to_numpy(zero_copy_only=False)
+        last = g.column("last_ts").to_numpy(zero_copy_only=False)
+        order = np.argsort(bands)
+        prev = np.zeros(len(last), dtype=np.int64)
+        none = np.zeros(len(last), dtype=bool)
+        if len(last):
+            prev[1:] = last[order][:-1]  # previous NONEMPTY band's max
+            none[0] = True               # user's very first band: NULL
+        return pa.table({
+            "user_id": g.column("user_id").take(pa.array(order)),
+            "band": pa.array(bands[order], pa.int64()),
+            "prev_last": pa.array(prev, pa.int64(), mask=none),
+        })
+
+    carries = summaries.groupby("user_id").map_groups(
+        carry, batch_format="pyarrow").materialize()
+
+    def apply_carry(b: pa.Table, cdf) -> pa.Table:
+        df = b.to_pandas()
+        m = df.merge(cdf, on=["user_id", "band"], how="left")
+        first = m["is_first"].to_numpy()
+        gap = m["in_gap"].to_numpy(dtype=np.float64)
+        prev = m["prev_last"].to_numpy(dtype=np.float64)
+        gap = np.where(first, m["ts_us"].to_numpy() - prev, gap)
+        isnull = first & np.isnan(prev)
+        return pa.table({
+            "event_id": pa.array(m["event_id"], pa.int64()),
+            "user_id": pa.array(m["user_id"], pa.int64()),
+            "ts_us": pa.array(m["ts_us"], pa.int64()),
+            "gap_us": pa.array(
+                np.where(isnull, 0, gap).astype(np.int64), pa.int64(),
+                mask=isnull),
+        })
+
+    n_carry = carries.count()
+    if n_carry <= broadcast_gate:
+        cdf = carries.to_pandas()
+        import ray as _ray
+        cref = _ray.put(cdf)
+
+        class Apply:
+            def __init__(self):
+                self.cdf = _ray.get(cref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                return apply_carry(b, self.cdf)
+
+        return inband.map_batches(Apply, batch_format="pyarrow",
+                                  concurrency=2)
+
+    joined = inband.join(carries, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("user_id", "band"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        first = b.column("is_first").to_numpy(zero_copy_only=False)
+        gap = b.column("in_gap").to_numpy(zero_copy_only=False)
+        pl = b.column("prev_last")
+        prev_null = pc.is_null(pl).to_numpy(zero_copy_only=False)
+        prev = pc.fill_null(pl, 0).to_numpy(zero_copy_only=False)
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
+        out_gap = np.where(first, ts - prev, gap)
+        isnull = first & prev_null
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts_us"),
+            "gap_us": pa.array(np.where(isnull, 0, out_gap).astype(
+                np.int64), pa.int64(), mask=isnull),
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")

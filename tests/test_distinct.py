@@ -282,3 +282,18 @@ def test_running_total_banded_pinned(ray_session, sf_dir, skew_dir, gate):
             d, broadcast_gate=gate).to_pandas())
         pd.testing.assert_frame_equal(plain, banded, check_dtype=False,
                                       check_exact=True)
+
+
+@pytest.mark.parametrize("gate", [4_000_000, 0])
+def test_user_lag_banded_pinned(ray_session, sf_dir, skew_dir, gate):
+    """The banded LAG (prev-nonempty-band carry) is row-identical to
+    the plain plan — NULL first-event rows included — on the sf fixture
+    and the hot-user corpus, on both offset paths."""
+    from search_engine_ray.functions.windows import (events_user_lag,
+                                                     events_user_lag_banded)
+    for d in (sf_dir, skew_dir):
+        plain = _canon(events_user_lag(d).to_pandas())
+        banded = _canon(events_user_lag_banded(
+            d, broadcast_gate=gate).to_pandas())
+        pd.testing.assert_frame_equal(plain, banded, check_dtype=False,
+                                      check_exact=True)
