@@ -410,3 +410,67 @@ def events_user_lag_banded(sf_dir: str, band_us: int = BAND_US,
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def events_rolling_count_banded(sf_dir: str,
+                                window_us: int = ROLL_WINDOW_US,
+                                band_us: int = BAND_US):
+    """Skew-proof RANGE rolling count: (user, time-band) groups with
+    the range-join replication trick — every event in a band's last
+    ``window_us`` also ships a read-only carry copy into the NEXT band,
+    so each band counts its own rows against a complete window history
+    without ever co-locating a whole user.  Requires
+    ``window_us <= band_us`` (events two bands back cannot be inside
+    the window); extra shuffle is only the window-tail fraction of each
+    band.  Pinned row-identical to the plain plan in
+    tests/test_distinct.py, hot-user fixture included.
+    """
+    if window_us > band_us:
+        raise ValueError("banded rolling count needs window <= band")
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        band = us // band_us
+        own = pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "band": pa.array(band, pa.int64()),
+            "ts_us": pa.array(us, pa.int64()),
+            "is_carry": pa.array(np.zeros(len(us), dtype=bool)),
+        })
+        tail = us >= (band + 1) * band_us - window_us
+        idx = pa.array(np.flatnonzero(tail))
+        carry = pa.table({
+            "event_id": b.column("event_id").take(idx),
+            "user_id": b.column("user_id").take(idx),
+            "band": pa.array(band[tail] + 1, pa.int64()),
+            "ts_us": pa.array(us[tail], pa.int64()),
+            "is_carry": pa.array(np.ones(int(tail.sum()), dtype=bool)),
+        })
+        return pa.concat_tables([own, carry])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        us = g.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = g.column("event_id").to_numpy(zero_copy_only=False)
+        carry = g.column("is_carry").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, us))
+        us, ev, carry = us[order], ev[order], carry[order]
+        # counts over ALL rows (carries included) but emitted only for
+        # the band's own rows; a carried ts equals its original, so the
+        # multiset seen by searchsorted matches the full history within
+        # the window span
+        n = (np.searchsorted(us, us, side="right")
+             - np.searchsorted(us, us - window_us, side="left"))
+        own = ~carry
+        return pa.table({
+            "event_id": pa.array(ev[own], pa.int64()),
+            "user_id": g.column("user_id").take(
+                pa.array(order[own])),
+            "ts_us": pa.array(us[own], pa.int64()),
+            "n_window": pa.array(n[own].astype(np.int64), pa.int64()),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby(["user_id", "band"])
+              .map_groups(per_group, batch_format="pyarrow"))

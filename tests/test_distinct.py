@@ -297,3 +297,18 @@ def test_user_lag_banded_pinned(ray_session, sf_dir, skew_dir, gate):
             d, broadcast_gate=gate).to_pandas())
         pd.testing.assert_frame_equal(plain, banded, check_dtype=False,
                                       check_exact=True)
+
+
+def test_rolling_count_banded_pinned(ray_session, sf_dir, skew_dir):
+    """The banded rolling count (window-tail carry replication) is
+    row-identical to the plain plan on both fixtures."""
+    from search_engine_ray.functions.windows import (
+        events_rolling_count, events_rolling_count_banded)
+    for d in (sf_dir, skew_dir):
+        plain = _canon(events_rolling_count(d).to_pandas())
+        banded = _canon(events_rolling_count_banded(d).to_pandas())
+        pd.testing.assert_frame_equal(plain, banded, check_dtype=False,
+                                      check_exact=True)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        events_rolling_count_banded(sf_dir, window_us=10, band_us=5)
