@@ -202,7 +202,8 @@ WITH t AS (SELECT doc_id,
                 w -> w <> '') AS toks FROM documents),
 b AS (SELECT unnest(toks[1:len(toks)-2]) AS w1,
              unnest(toks[2:len(toks)-1]) AS w2,
-             unnest(toks[3:len(toks)]) AS w3 FROM t)
+             unnest(toks[3:len(toks)]) AS w3
+      FROM t WHERE len(toks) >= 3)
 SELECT w1, w2, w3, COUNT(*) AS tri_cnt FROM b GROUP BY w1, w2, w3
 ORDER BY tri_cnt DESC, w1, w2, w3 LIMIT {k}
 """

@@ -694,6 +694,18 @@ class VideoFrameSample:
         })
 
 
+def _pool_concurrency(cap: int, divisor: int) -> int:
+    """Actor-pool size strictly below the node's CPU count so the pool
+    can never starve its upstream synthesis/read tasks (a pool that
+    reserves every CPU deadlocks the pipeline — observed at
+    num_cpus=4).  Safe before ray.init: falls back to the default."""
+    import ray
+    cpus = 4
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, min(cap, cpus // divisor))
+
+
 def media_rows_for_sf(sf_dir: str) -> int:
     """Media corpus size for an sf dir: one media row per 10 event rows
     (events is the table that scales with sf), floor 64."""
@@ -721,9 +733,7 @@ def media_pipeline(n: int | None = None, sf_dir: str | None = None,
     if concurrency is None:
         # pure-Python codecs are CPU-bound: size the pool to the node,
         # capped so three stages don't oversubscribe it
-        import ray
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, min(12, cpus // 3))
+        concurrency = _pool_concurrency(12, 3)
     # materialize once: the three stages fork from the same blocks
     # (object-store-resident, distributed) instead of re-synthesizing
     # the corpus per consumer
@@ -842,13 +852,7 @@ def media_audio_spectrogram(sf_dir: str | None = None,
     features for every audio row of the sf-scaled media corpus."""
     if n is None:
         n = media_rows_for_sf(sf_dir) if sf_dir else 64
-    # size the actor pool BELOW the node's CPU count (like
-    # media_pipeline): a pool that reserves every CPU starves the
-    # upstream synthesis task and the pipeline deadlocks on a small
-    # ray.init (observed at num_cpus=4 with concurrency=4)
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    concurrency = max(2, min(8, cpus // 2))
     media = synth_media_dataset(n)
+    concurrency = _pool_concurrency(8, 2)
     return media.map_batches(AudioSpectrogram, batch_format="pyarrow",
                              batch_size=8, concurrency=concurrency)

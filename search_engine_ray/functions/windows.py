@@ -167,8 +167,6 @@ def events_running_total_banded(sf_dir: str, band_us: int = BAND_US,
     window oracle) in tests/test_distinct.py, including on the 83%-
     hot-user skew fixture.
     """
-    import pandas as pd
-
     import ray
     from ray.data.aggregate import Sum
 
@@ -187,7 +185,10 @@ def events_running_total_banded(sf_dir: str, band_us: int = BAND_US,
             "vmicros": pa.array(val, pa.int64()),
         })
 
-    base = ds.map_batches(prep, batch_format="pyarrow")
+    # materialize: base feeds BOTH the in-band groupby and the totals
+    # aggregation; left lazy, each consumer would re-read and re-prep
+    # the whole events table
+    base = ds.map_batches(prep, batch_format="pyarrow").materialize()
 
     def in_band(g: pa.Table) -> pa.Table:
         us = g.column("ts_us").to_numpy(zero_copy_only=False)
@@ -302,7 +303,9 @@ def events_user_lag_banded(sf_dir: str, band_us: int = BAND_US,
             "ts_us": pa.array(us, pa.int64()),
         })
 
-    base = ds.map_batches(prep, batch_format="pyarrow")
+    # materialize: base feeds both the in-band groupby and the summary
+    # aggregation (see events_running_total_banded)
+    base = ds.map_batches(prep, batch_format="pyarrow").materialize()
 
     def in_band(g: pa.Table) -> pa.Table:
         us = g.column("ts_us").to_numpy(zero_copy_only=False)
@@ -356,31 +359,33 @@ def events_user_lag_banded(sf_dir: str, band_us: int = BAND_US,
         carry, batch_format="pyarrow").materialize()
 
     def apply_carry(b: pa.Table, cdf) -> pa.Table:
+        # integer-exact like the join-path finish(): NaN-marshalling
+        # through float64 would round gaps past 2^53 µs
         df = b.to_pandas()
         m = df.merge(cdf, on=["user_id", "band"], how="left")
         first = m["is_first"].to_numpy()
-        gap = m["in_gap"].to_numpy(dtype=np.float64)
-        prev = m["prev_last"].to_numpy(dtype=np.float64)
-        gap = np.where(first, m["ts_us"].to_numpy() - prev, gap)
-        isnull = first & np.isnan(prev)
+        prev_null = m["prev_last"].isna().to_numpy()
+        prev = m["prev_last"].fillna(0).astype("int64").to_numpy()
+        ts = m["ts_us"].to_numpy(dtype=np.int64)
+        gap = np.where(first, ts - prev,
+                       m["in_gap"].to_numpy(dtype=np.int64))
+        isnull = first & prev_null
         return pa.table({
             "event_id": pa.array(m["event_id"], pa.int64()),
             "user_id": pa.array(m["user_id"], pa.int64()),
-            "ts_us": pa.array(m["ts_us"], pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
             "gap_us": pa.array(
-                np.where(isnull, 0, gap).astype(np.int64), pa.int64(),
-                mask=isnull),
+                np.where(isnull, 0, gap), pa.int64(), mask=isnull),
         })
 
     n_carry = carries.count()
     if n_carry <= broadcast_gate:
         cdf = carries.to_pandas()
-        import ray as _ray
-        cref = _ray.put(cdf)
+        cref = ray.put(cdf)
 
         class Apply:
             def __init__(self):
-                self.cdf = _ray.get(cref)
+                self.cdf = ray.get(cref)
 
             def __call__(self, b: pa.Table) -> pa.Table:
                 return apply_carry(b, self.cdf)
