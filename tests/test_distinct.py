@@ -312,3 +312,41 @@ def test_rolling_count_banded_pinned(ray_session, sf_dir, skew_dir):
     import pytest as _pt
     with _pt.raises(ValueError):
         events_rolling_count_banded(sf_dir, window_us=10, band_us=5)
+
+
+def test_windows_property_random_corpora(ray_session, tmp_path_factory):
+    """Property check: on randomized event tables (duplicate timestamps
+    allowed, multiple users, values of mixed sign) all three window
+    kernels stay hash-exact vs DuckDB — the tie-break and RANGE-frame
+    semantics hold beyond the fixture distribution."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.functions import windows
+    for seed in (3, 11, 42):
+        rng = np.random.default_rng(seed)
+        n = 400
+        d = tmp_path_factory.mktemp(f"wprop{seed}")
+        # coarse ts grid forces plenty of exact duplicates per user
+        ts = rng.integers(0, 50, n) * 60_000_000 + 1_700_000_000_000_000
+        pq.write_table(pa.table({
+            "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(rng.integers(0, 7, n).astype(np.int64)),
+            "event_type": pa.array(["e"] * n),
+            "value": pa.array(rng.normal(0, 5, n)),
+            "props": pa.array(["{}"] * n),
+        }), str(d / "events.parquet"))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{d}/events.parquet')")
+        for op, sql in [("events_user_lag", windows.SQL_EVENTS_USER_LAG),
+                        ("events_rolling_count", windows.SQL_EVENTS_ROLLING),
+                        ("events_running_total",
+                         windows.SQL_EVENTS_RUNNING_TOTAL)]:
+            mine = _canon(getattr(windows, op)(str(d)).to_pandas())
+            ref = _canon(con.execute(sql).fetchdf())
+            pd.testing.assert_frame_equal(
+                mine, ref, check_dtype=False, check_exact=True,
+                obj=f"{op} seed={seed}")
