@@ -121,6 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_lag": _events_user_lag,
         "events_rolling_count": _events_rolling_count,
         "events_running_total": _events_running_total,
+        # skew-proof banded variants — SAME oracle SQL as the plain
+        # plans, so the scale path is driver-checked hash-exact too
+        "events_user_lag_banded": _events_user_lag_banded,
+        "events_rolling_count_banded": _events_rolling_count_banded,
+        "events_running_total_banded": _events_running_total_banded,
         # distinct counting: exact per-group COUNT(DISTINCT) via the
         # pair-dedup combiner + a deterministic HyperLogLog register
         # sketch (splitmix64) whose 256-row register table hash-matches
@@ -175,6 +180,26 @@ def _events_running_total(sf_dir: str) -> Any:
     from search_engine_ray.functions.windows import events_running_total
 
     return events_running_total(sf_dir)
+
+
+def _events_user_lag_banded(sf_dir: str) -> Any:
+    from search_engine_ray.functions.windows import events_user_lag_banded
+
+    return events_user_lag_banded(sf_dir)
+
+
+def _events_rolling_count_banded(sf_dir: str) -> Any:
+    from search_engine_ray.functions.windows import \
+        events_rolling_count_banded
+
+    return events_rolling_count_banded(sf_dir)
+
+
+def _events_running_total_banded(sf_dir: str) -> Any:
+    from search_engine_ray.functions.windows import \
+        events_running_total_banded
+
+    return events_running_total_banded(sf_dir)
 
 
 def _events_distinct_users(sf_dir: str) -> Any:
@@ -434,6 +459,10 @@ def oracle_sql() -> dict[str, str]:
     out["events_user_lag"] = windows.SQL_EVENTS_USER_LAG
     out["events_rolling_count"] = windows.SQL_EVENTS_ROLLING
     out["events_running_total"] = windows.SQL_EVENTS_RUNNING_TOTAL
+    out["events_user_lag_banded"] = windows.SQL_EVENTS_USER_LAG
+    out["events_rolling_count_banded"] = windows.SQL_EVENTS_ROLLING
+    out["events_running_total_banded"] = \
+        windows.SQL_EVENTS_RUNNING_TOTAL
     out["events_distinct_users"] = distinct.SQL_EVENTS_DISTINCT_USERS
     out["hll_distinct"] = distinct.SQL_HLL_DISTINCT
     out["bigram_stats"] = cooccur.SQL_BIGRAM_STATS
